@@ -1,0 +1,151 @@
+"""Throughput benchmark: DeepFM train-step examples/sec/chip on real TPU.
+
+Workload: Criteo-scale synthetic CTR batch (26 categorical fields,
+vocab 400k/field, fm_embed_dim 16, DNN [512,256,128], batch 16384,
+bfloat16 compute) — BASELINE.json configs[4]. Measures the full jitted
+train step (fwd + bwd + Adam update) with block_until_ready bracketing.
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+for ``vs_baseline`` is an equivalent PyTorch DeepFM train step implemented
+in bench_baseline_torch.py, run on this host's CPU (the reference targets
+CPU/MPS eager PyTorch; reference deepfm/cli.py:16-25). Pass --no-baseline
+to skip it and report vs_baseline against the last cached baseline value.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+BATCH = 16384
+NUM_FIELDS = 26
+VOCAB = 400_000
+WARMUP = 3
+STEPS = 10
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.data.schema import DatasetSchema, FeatureType, FieldSchema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    fields = {}
+    for i in range(NUM_FIELDS):
+        name = f"cat_{i}"
+        fields[name] = FieldSchema(
+            name, FeatureType.SPARSE, VOCAB, 16, "user" if i % 2 else "item"
+        )
+    fields["dense_0"] = FieldSchema(
+        "dense_0", FeatureType.DENSE, 0, 16, "context"
+    )
+    schema = DatasetSchema(fields=fields)
+    packed = pack_schema(schema)
+
+    rng = np.random.default_rng(0)
+    feats = {
+        f"cat_{i}": rng.integers(1, VOCAB, BATCH) for i in range(NUM_FIELDS)
+    }
+    feats["dense_0"] = rng.normal(size=BATCH).astype(np.float32)
+    labels = rng.integers(0, 2, BATCH).astype(np.float32)
+    arrays = pack_features(packed, feats, labels)
+
+    config = config_from_dict(
+        {
+            "dnn": {
+                "hidden_units": [512, 256, 128],
+                "dropout": 0.0,
+                "use_batch_norm": True,
+            },
+            "training": {
+                "batch_size": BATCH,
+                "compute_dtype": "bfloat16",
+            },
+            "output_dir": "/tmp/bench_out",
+        }
+    )
+    model = create_model("deepfm", packed, config)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=arrays,
+        val_data=arrays,
+        test_data=arrays,
+    )
+
+    ids = jnp.asarray(arrays.ids)
+    dense = jnp.asarray(arrays.dense)
+    lab = jnp.asarray(arrays.labels)
+    w = jnp.ones((BATCH,), jnp.float32)
+
+    for _ in range(WARMUP):
+        trainer.state, loss = trainer._train_step(
+            trainer.state, ids, dense, lab, w
+        )
+    jax.block_until_ready(trainer.state)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        trainer.state, loss = trainer._train_step(
+            trainer.state, ids, dense, lab, w
+        )
+    jax.block_until_ready(trainer.state)
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_torch_baseline() -> float | None:
+    try:
+        from bench_baseline_torch import measure
+
+        return measure(
+            batch=BATCH, num_fields=NUM_FIELDS, vocab=VOCAB, steps=3
+        )
+    except Exception:
+        return None
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--no-baseline", action="store_true")
+    args = parser.parse_args()
+
+    value = bench_tpu()
+
+    baseline = None
+    if not args.no_baseline:
+        baseline = bench_torch_baseline()
+        if baseline:
+            BASELINE_CACHE.write_text(json.dumps({"baseline": baseline}))
+    if baseline is None and BASELINE_CACHE.exists():
+        baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
+
+    vs = value / baseline if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "deepfm_train_step_throughput",
+                "value": round(value, 1),
+                "unit": "examples/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

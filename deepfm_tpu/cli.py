@@ -1,0 +1,269 @@
+"""CLI: train / evaluate / compare (+ synth-data, bench utilities).
+
+Same command surface as the reference CLI (reference: deepfm/cli.py:206-261):
+``python -m deepfm_tpu {train,evaluate,compare}`` with ``--config`` YAML and
+``--override a.b.c=v`` dot-notation overrides. Additions: ``synth-data``
+(writes an ML-100K-format synthetic dataset for zero-egress environments)
+and first-class mesh flags via the config's ``mesh`` section.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from deepfm_tpu.config import ExperimentConfig, load_config
+from deepfm_tpu.utils import get_logger, seed_everything
+
+
+def build_runtime(config: ExperimentConfig):
+    """Resolve (mesh, lookup_fn) from the mesh config section."""
+    import jax
+
+    from deepfm_tpu.parallel import build_mesh, make_lookup_fn
+
+    n = len(jax.devices())
+    if n == 1 and config.mesh.model_axis in (1, -1):
+        mesh = None
+    else:
+        mesh = build_mesh(config.mesh.data_axis, config.mesh.model_axis)
+    lookup_fn = make_lookup_fn(mesh, config.mesh.embedding_strategy)
+    return mesh, lookup_fn
+
+
+def _build_data(config: ExperimentConfig):
+    from deepfm_tpu.data.packing import pack_schema
+    from deepfm_tpu.data.synthetic import build_adapter
+
+    adapter = build_adapter(config.data, seed=config.seed)
+    schema, train_ds, val_ds, test_ds = adapter.build()
+    packed = pack_schema(schema)
+    return (
+        adapter,
+        schema,
+        packed,
+        train_ds.pack(packed),
+        val_ds.pack(packed),
+        test_ds.pack(packed),
+    )
+
+
+def train_command(config: ExperimentConfig) -> None:
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    logger = get_logger("deepfm_tpu", log_file=f"{config.output_dir}/train.log")
+    seed_everything(config.seed)
+
+    import jax
+
+    logger.info(f"Devices: {jax.devices()}")
+    if config.profile.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    logger.info("Loading and preparing data...")
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    logger.info(
+        f"Data ready: train={len(train_d)}, val={len(val_d)}, test={len(test_d)}"
+    )
+    logger.info(f"Schema: {schema.field_names}")
+
+    mesh, lookup_fn = build_runtime(config)
+    if mesh is not None:
+        logger.info(f"Mesh: {dict(mesh.shape)}")
+    model = create_model(config.model_name, packed, config, lookup_fn=lookup_fn)
+
+    # Adapter wrapper matching the Trainer resample contract.
+    class _Resampler:
+        def resample_train(self):
+            return adapter.resample_train()
+
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=train_d,
+        val_data=val_d,
+        test_data=test_d,
+        adapter=_Resampler(),
+        mesh=mesh,
+    )
+    import jax as _jax
+
+    n_params = sum(
+        int(p.size) for p in _jax.tree_util.tree_leaves(trainer.state.params)
+    )
+    logger.info(f"Model: {config.model_name} ({n_params:,} parameters)")
+    trainer.train()
+
+
+def evaluate_command(config: ExperimentConfig) -> None:
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    mesh, lookup_fn = build_runtime(config)
+    model = create_model(config.model_name, packed, config, lookup_fn=lookup_fn)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=val_d,  # unused for eval
+        val_data=val_d,
+        test_data=test_d,
+        mesh=mesh,
+    )
+    trainer.load_best()
+    logger.info("--- Validation ---")
+    for k, v in trainer.evaluate(val_d, "val").items():
+        logger.info(f"  val_{k} = {v:.4f}")
+    logger.info("--- Test ---")
+    for k, v in trainer.evaluate(test_d, "test").items():
+        logger.info(f"  test_{k} = {v:.4f}")
+
+
+def _fmt(d: dict, key: str) -> str:
+    v = d.get(key)
+    return f"{v:.4f}" if isinstance(v, float) else "-"
+
+
+def print_comparison_table(runs: list[dict]) -> None:
+    """Fixed-width comparison table over results.json runs
+    (reference cli.py:115-188, plus a throughput column)."""
+    w_run, w_model, w_hp, w_m = 28, 18, 20, 10
+
+    seen: set[str] = set()
+    for run in runs:
+        for key in run.get("test_metrics", {}):
+            if key.startswith(("HR@", "NDCG@")):
+                seen.add(key)
+    hr = sorted(
+        (k for k in seen if k.startswith("HR@")),
+        key=lambda x: int(x.split("@")[1]),
+    )
+    ndcg = sorted(
+        (k for k in seen if k.startswith("NDCG@")),
+        key=lambda x: int(x.split("@")[1]),
+    )
+    ranking_keys = hr + ndcg
+
+    header = (
+        "Run".ljust(w_run)
+        + "Model".ljust(w_model)
+        + "LR·BS·Emb".ljust(w_hp)
+        + "Val AUC".rjust(w_m)
+        + "Val LogL".rjust(w_m)
+        + "Tst AUC".rjust(w_m)
+        + "Tst LogL".rjust(w_m)
+        + "".join(k.rjust(w_m) for k in ranking_keys)
+        + "BstEp".rjust(w_m)
+        + "Ex/s".rjust(w_m + 2)
+    )
+    sep = "-" * len(header)
+    print(sep)
+    print(header)
+    print(sep)
+    for run in runs:
+        cfg = run.get("config", {})
+        tc = cfg.get("training", {})
+        fc = cfg.get("feature", {})
+        hp = f"{tc.get('lr', '?')}·{tc.get('batch_size', '?')}·{fc.get('fm_embed_dim', '?')}"
+        vm = run.get("val_metrics", {})
+        tm = run.get("test_metrics", {})
+        ti = run.get("training_info", {})
+        eps = ti.get("examples_per_sec")
+        eps_s = f"{eps:,.0f}" if isinstance(eps, (int, float)) else "-"
+        print(
+            str(run.get("run_id", "?"))[:w_run].ljust(w_run)
+            + str(cfg.get("model_name", "?"))[:w_model].ljust(w_model)
+            + hp[:w_hp].ljust(w_hp)
+            + _fmt(vm, "auc").rjust(w_m)
+            + _fmt(vm, "logloss").rjust(w_m)
+            + _fmt(tm, "auc").rjust(w_m)
+            + _fmt(tm, "logloss").rjust(w_m)
+            + "".join(_fmt(tm, k).rjust(w_m) for k in ranking_keys)
+            + str(ti.get("best_epoch", "-")).rjust(w_m)
+            + eps_s.rjust(w_m + 2)
+        )
+    print(sep)
+
+
+def compare_command(args) -> None:
+    import json
+    from pathlib import Path
+
+    base = Path(args.dir)
+    files = sorted(base.rglob("results.json"))
+    if not files:
+        print(f"No results.json files found under {base}")
+        return
+    print_comparison_table([json.loads(f.read_text()) for f in files])
+
+
+def synth_data_command(args) -> None:
+    from deepfm_tpu.data.synthetic import generate_movielens_like
+
+    path = generate_movielens_like(
+        args.dir,
+        num_users=args.users,
+        num_items=args.items,
+        num_rows=args.rows,
+        seed=args.seed,
+    )
+    print(f"Synthetic ML-100K-format dataset written to {path}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="deepfm_tpu",
+        description=(
+            "TPU-native CTR prediction: DeepFM, xDeepFM, AttentionDeepFM"
+        ),
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, help_ in [
+        ("train", "Train a model"),
+        ("evaluate", "Evaluate a saved model"),
+    ]:
+        p = sub.add_parser(name, help=help_)
+        p.add_argument("--config", required=True, help="Path to YAML config")
+        p.add_argument(
+            "--override",
+            nargs="*",
+            default=[],
+            help="Override config values, e.g. training.num_epochs=10",
+        )
+
+    cmp_p = sub.add_parser("compare", help="Compare experiment results")
+    cmp_p.add_argument("--dir", default="outputs")
+
+    sd = sub.add_parser(
+        "synth-data", help="Generate an ML-100K-format synthetic dataset"
+    )
+    sd.add_argument("--dir", default="data/ml-100k-synth")
+    sd.add_argument("--users", type=int, default=300)
+    sd.add_argument("--items", type=int, default=400)
+    sd.add_argument("--rows", type=int, default=20000)
+    sd.add_argument("--seed", type=int, default=0)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "compare":
+        compare_command(args)
+        return
+    if args.command == "synth-data":
+        synth_data_command(args)
+        return
+
+    config = load_config(args.config, args.override or None)
+    if args.command == "train":
+        train_command(config)
+    elif args.command == "evaluate":
+        evaluate_command(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,269 @@
+"""Dataclass-based configuration with YAML loading and dot-notation overrides.
+
+Config surface mirrors the reference framework's experiment contract
+(reference: deepfm/config.py:13-131) and extends it with TPU-native sections:
+``mesh`` (device-mesh / sharding layout), ``benchmark`` (throughput harness)
+and ``profile`` (jax.profiler trace capture).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any, get_args, get_origin
+
+import yaml
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset_name: str = "movielens"
+    data_dir: str = "data/ml-100k"
+    split_strategy: str = "temporal"
+    temporal_val_ratio: float = 0.1
+    temporal_test_ratio: float = 0.1
+    neg_sampling_alpha: float = 0.75
+    min_interactions: int = 3
+    label_threshold: float = 4.0
+    num_neg_train: int = 4
+    num_neg_eval: int = 999
+    # TPU additions: synthetic data controls (used when dataset_name is
+    # "synthetic" or "criteo_synthetic"); see deepfm_tpu/data/synthetic.py.
+    synthetic_num_users: int = 943
+    synthetic_num_items: int = 1682
+    synthetic_num_rows: int = 100_000
+    synthetic_num_fields: int = 26
+    synthetic_vocab_size: int = 100_000
+    # Use the native C++ negative sampler when available.
+    use_native_sampler: bool = True
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    fm_embed_dim: int = 16
+    embedding_l2_reg: float = 1e-5
+
+
+@dataclass(frozen=True)
+class FMConfig:
+    use_first_order: bool = True
+    use_second_order: bool = True
+
+
+@dataclass(frozen=True)
+class DNNConfig:
+    hidden_units: tuple[int, ...] = (256, 128, 64)
+    activation: str = "relu"
+    dropout: float = 0.1
+    use_batch_norm: bool = True
+
+
+@dataclass(frozen=True)
+class CINConfig:
+    layer_sizes: tuple[int, ...] = (128, 128)
+    split_half: bool = True
+
+
+@dataclass(frozen=True)
+class AttentionConfig:
+    num_heads: int = 4
+    attention_dim: int = 64
+    num_layers: int = 1
+    use_residual: bool = True
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    num_epochs: int = 50
+    batch_size: int = 4096
+    lr: float = 1e-3
+    optimizer: str = "adam"
+    scheduler: str = "reduce_on_plateau"
+    early_stopping_patience: int = 5
+    metric: str = "auc"
+    gradient_clip_norm: float = 1.0
+    ranking_ks: tuple[int, ...] = (1, 5, 10, 20)
+    # TPU additions
+    # "float32" or "bfloat16" compute for dense towers (params stay f32).
+    compute_dtype: str = "float32"
+    # Resume training from the latest checkpoint in output_dir if present.
+    resume: bool = False
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device-mesh layout for SPMD execution.
+
+    ``data`` x ``model`` axes; embedding tables are row-sharded over the
+    ``model`` axis, the batch is sharded over ``data``, dense towers are
+    replicated. Sizes of -1 mean "use all available devices on that axis"
+    (model=1 by default: pure data parallelism).
+    """
+
+    data_axis: int = -1
+    model_axis: int = 1
+    # Embedding lookup strategy across model shards:
+    #   "auto"       — gspmd decides (table sharded via NamedSharding only)
+    #   "psum"       — masked local gather + psum over the model axis
+    #   "all_to_all" — bucketed ID exchange (EP-style routed lookup)
+    embedding_strategy: str = "psum"
+
+
+@dataclass(frozen=True)
+class PallasConfig:
+    """Toggles for hand-written Pallas TPU kernels (jnp oracle otherwise)."""
+
+    use_embedding_kernel: bool = False
+    use_cin_kernel: bool = False
+    use_attention_kernel: bool = False
+
+
+@dataclass(frozen=True)
+class ProfileConfig:
+    trace_dir: str = ""
+    # NaN debugging (jax_debug_nans) for debug runs.
+    debug_nans: bool = False
+
+
+@dataclass(frozen=True)
+class BenchmarkConfig:
+    warmup_steps: int = 5
+    measure_steps: int = 20
+    log_throughput: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model_name: str = "deepfm"
+    seed: int = 42
+    device: str = "auto"
+    output_dir: str = "outputs"
+    data: DataConfig = field(default_factory=DataConfig)
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    fm: FMConfig = field(default_factory=FMConfig)
+    dnn: DNNConfig = field(default_factory=DNNConfig)
+    cin: CINConfig = field(default_factory=CINConfig)
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    pallas: PallasConfig = field(default_factory=PallasConfig)
+    profile: ProfileConfig = field(default_factory=ProfileConfig)
+    benchmark: BenchmarkConfig = field(default_factory=BenchmarkConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _coerce(value: Any, typ: Any, path: str) -> Any:
+    """Coerce a raw YAML value into the annotated type, recursively."""
+    if is_dataclass(typ):
+        if not isinstance(value, dict):
+            raise ConfigError(f"{path}: expected mapping for {typ.__name__}")
+        return _from_dict(typ, value, path)
+    origin = get_origin(typ)
+    if origin in (list, tuple):
+        if not isinstance(value, (list, tuple)):
+            raise ConfigError(f"{path}: expected list, got {type(value).__name__}")
+        args = get_args(typ)
+        elem_t = args[0] if args else Any
+        out = [_coerce(v, elem_t, f"{path}[{i}]") for i, v in enumerate(value)]
+        return tuple(out) if origin is tuple else out
+    if typ is float:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ConfigError(f"{path}: expected float, got {value!r}")
+        return float(value)
+    if typ is int:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ConfigError(f"{path}: expected int, got {value!r}")
+        return value
+    if typ is bool:
+        if not isinstance(value, bool):
+            raise ConfigError(f"{path}: expected bool, got {value!r}")
+        return value
+    if typ is str:
+        if not isinstance(value, str):
+            raise ConfigError(f"{path}: expected str, got {value!r}")
+        return value
+    return value
+
+
+def _from_dict(cls: type, raw: dict[str, Any], path: str = "") -> Any:
+    """Typed construction of a dataclass tree from a nested dict."""
+    known = {f.name: f for f in fields(cls)}
+    unknown = set(raw) - set(known)
+    if unknown:
+        raise ConfigError(f"{path or cls.__name__}: unknown keys {sorted(unknown)}")
+    kwargs = {}
+    hints = {f.name: f.type for f in fields(cls)}
+    # Resolve string annotations (from __future__ import annotations).
+    import typing
+
+    resolved = typing.get_type_hints(cls)
+    for name, value in raw.items():
+        typ = resolved.get(name, hints[name])
+        kwargs[name] = _coerce(value, typ, f"{path}.{name}" if path else name)
+    return cls(**kwargs)
+
+
+def _parse_value(value: str) -> Any:
+    """Parse an override string into bool/int/float/list/str."""
+    low = value.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(value)
+    except ValueError:
+        pass
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    if value.startswith("[") and value.endswith("]"):
+        try:
+            return ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+    return value
+
+
+def apply_overrides(raw: dict[str, Any], overrides: list[str]) -> dict[str, Any]:
+    """Apply ``a.b.c=value`` dot-notation overrides to a nested dict in place."""
+    for override in overrides:
+        if "=" not in override:
+            raise ConfigError(f"Override must be key=value, got {override!r}")
+        key, value = override.split("=", 1)
+        parts = key.strip().split(".")
+        target = raw
+        for part in parts[:-1]:
+            target = target.setdefault(part, {})
+            if not isinstance(target, dict):
+                raise ConfigError(f"Override path {key!r} collides with a scalar")
+        target[parts[-1]] = _parse_value(value.strip())
+    return raw
+
+
+def load_config(
+    yaml_path: str | Path | None = None, overrides: list[str] | None = None
+) -> ExperimentConfig:
+    """Load an ExperimentConfig from YAML with optional dot-notation overrides.
+
+    Mirrors the reference CLI contract (deepfm/config.py:89-110): YAML file
+    plus ``key.subkey=value`` override strings with typed scalar parsing.
+    """
+    raw: dict[str, Any] = {}
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        apply_overrides(raw, overrides)
+    return _from_dict(ExperimentConfig, raw)
+
+
+def config_from_dict(raw: dict[str, Any]) -> ExperimentConfig:
+    return _from_dict(ExperimentConfig, raw)

@@ -1,0 +1,52 @@
+"""CTR model registry and factory (reference: deepfm/models/__init__.py:12-36)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from deepfm_tpu.config import ExperimentConfig
+from deepfm_tpu.data.packing import PackedSchema, pack_schema
+from deepfm_tpu.data.schema import DatasetSchema
+from deepfm_tpu.models.attention_deepfm import AttentionDeepFM
+from deepfm_tpu.models.base import CTRModel, embedding_l2_loss
+from deepfm_tpu.models.deepfm import DeepFM
+from deepfm_tpu.models.xdeepfm import xDeepFM
+
+MODEL_REGISTRY: dict[str, type[CTRModel]] = {
+    "deepfm": DeepFM,
+    "xdeepfm": xDeepFM,
+    "attention_deepfm": AttentionDeepFM,
+}
+
+
+def create_model(
+    name: str,
+    schema: DatasetSchema | PackedSchema,
+    config: ExperimentConfig,
+    lookup_fn: Callable | None = None,
+) -> CTRModel:
+    """Instantiate a model by registry name.
+
+    Accepts either a DatasetSchema (packed on the fly) or a pre-computed
+    PackedSchema. ``lookup_fn`` overrides the embedding-row lookup (sharded /
+    Pallas strategies).
+    """
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"Unknown model: {name}. Choose from {list(MODEL_REGISTRY)}")
+    packed = schema if isinstance(schema, PackedSchema) else pack_schema(schema)
+    if lookup_fn is None and config.pallas.use_embedding_kernel:
+        from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
+
+        lookup_fn = pallas_lookup
+    return MODEL_REGISTRY[name](packed=packed, config=config, lookup_fn=lookup_fn)
+
+
+__all__ = [
+    "AttentionDeepFM",
+    "CTRModel",
+    "DeepFM",
+    "MODEL_REGISTRY",
+    "create_model",
+    "embedding_l2_loss",
+    "xDeepFM",
+]

@@ -1,0 +1,253 @@
+"""Fused feature-embedding engine: one module, three views, few big gathers.
+
+Functional contract matches the reference embedding layer (reference:
+deepfm/models/layers/embedding.py:76-126): a single forward produces
+
+  first_order      (B, 1)        — sum of per-field scalar embeddings
+  field_embeddings (B, F, fm_d)  — per-field embeddings projected to fm_d
+  flat_embeddings  (B, total_d)  — raw per-field embeddings concatenated
+
+TPU-native differences (deliberate, not incidental):
+  * All tables of one embedding width are fused into a single table with
+    per-field row offsets (see data/packing.py), so a batch does one wide
+    gather per width group instead of 2 x num_fields small gathers.
+  * The first-order weights of every table-backed field live in ONE vector
+    (total_vocab,) — a single gather.
+  * Dense-feature "embeddings" (reference: per-field nn.Linear(1, d)) are a
+    broadcasted multiply-add over a (num_dense_fields, d) weight block.
+  * padding/OOV semantics (reference padding_idx=0 per field) are enforced by
+    multiplying gathered rows with (local_id != 0); autodiff then yields
+    exactly-zero gradients for every field's row 0.
+  * Table rows are padded to a multiple of 128 so row-sharding across any
+    power-of-two "model" mesh axis divides evenly and gathers stay aligned
+    to TPU lanes.
+
+The raw-row lookup is pluggable (``lookup_fn``): default is XLA gather;
+alternatives are the shard_map all-to-all / psum strategies in
+deepfm_tpu/parallel/embedding_shard.py and the Pallas kernel in
+deepfm_tpu/ops/pallas/embedding_kernel.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from deepfm_tpu.data.packing import PackedSchema
+
+ROW_PAD = 128
+
+# lookup_fn(table: (V, d), flat_ids: (n,)) -> (n, d)
+LookupFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def default_lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
+    """Plain XLA gather; under gspmd a sharded table lowers to collectives."""
+    return jnp.take(table, flat_ids, axis=0)
+
+
+def pad_rows(rows: int, multiple: int = ROW_PAD) -> int:
+    return -(-rows // multiple) * multiple
+
+
+def make_table_init(
+    widths: list[int], vocab_sizes: list[int], padded_rows: int, width: int
+):
+    """Per-field Xavier-uniform init with each field's row 0 (and padding
+    rows) zeroed — matches reference init semantics (reference:
+    deepfm/models/layers/embedding.py:66-74: xavier_uniform on weight[1:],
+    padding row stays zero).
+    """
+    scale = np.zeros((padded_rows, 1), dtype=np.float32)
+    cursor = 0
+    for d, v in zip(widths, vocab_sizes):
+        bound = math.sqrt(6.0 / (d + max(v - 1, 1)))
+        scale[cursor + 1 : cursor + v] = bound
+        cursor += v
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (padded_rows, width), (shape, padded_rows, width)
+        u = jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
+        return u * jnp.asarray(scale, dtype)
+
+    return init
+
+
+def xavier_uniform_shape(fan_in: int, fan_out: int):
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+class FeatureEmbedding(nn.Module):
+    """Shared embedding engine emitting the three standard views."""
+
+    packed: PackedSchema
+    fm_embed_dim: int = 16
+    lookup_fn: LookupFn | None = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _lookup(self, table: jax.Array, ids2d: jax.Array) -> jax.Array:
+        """Gather rows for a (B, S_g) id block -> (B, S_g, d)."""
+        fn = self.lookup_fn or default_lookup
+        b, s = ids2d.shape
+        rows = fn(table, ids2d.reshape(-1))
+        return rows.reshape(b, s, table.shape[1])
+
+    @nn.compact
+    def __call__(
+        self, ids: jax.Array, dense: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        packed = self.packed
+        fm_d = self.fm_embed_dim
+        cdt = self.compute_dtype
+
+        # Per-field outputs collected by name, assembled in schema order.
+        field_raw: dict[str, jax.Array] = {}  # (B, d_f) raw embeddings
+        field_proj: dict[str, jax.Array] = {}  # (B, fm_d) projected
+        fo_parts: list[jax.Array] = []  # (B,) first-order contributions
+
+        # ---- fused first-order table over ALL lookup fields -------------
+        if packed.fo_rows > 0:
+            fo_rows_padded = pad_rows(packed.fo_rows)
+            lookup_fields = packed.schema.lookup_fields
+            fo_table = self.param(
+                "fo_table",
+                make_table_init(
+                    [1] * len(lookup_fields),
+                    [f.vocabulary_size for f in lookup_fields],
+                    fo_rows_padded,
+                    1,
+                ),
+                (fo_rows_padded, 1),
+            )
+
+        # ---- lookup groups: one fused gather per embedding width --------
+        for gi, group in enumerate(packed.lookup_groups):
+            d = group.width
+            members = [packed.schema.fields[n] for n in group.field_names]
+            rows_padded = pad_rows(group.total_rows)
+            table = self.param(
+                f"table_w{d}",
+                make_table_init(
+                    [d] * len(members),
+                    [f.vocabulary_size for f in members],
+                    rows_padded,
+                    d,
+                ),
+                (rows_padded, d),
+            )
+
+            ids_g = ids[:, group.slot_start : group.slot_end]  # (B, S_g)
+            mask = (ids_g != 0).astype(cdt)  # (B, S_g)
+            local = ids_g + jnp.asarray(group.local_offsets)[None, :]
+
+            emb = self._lookup(table, local).astype(cdt)  # (B, S_g, d)
+            emb = emb * mask[:, :, None]
+
+            fo_off = jnp.asarray(
+                packed.fo_offsets[group.slot_start : group.slot_end]
+            )
+            fo_vals = self._lookup(fo_table, ids_g + fo_off[None, :]).astype(cdt)
+            fo_vals = fo_vals[:, :, 0] * mask  # (B, S_g)
+
+            nf = len(members)
+            if group.slot_end - group.slot_start == nf:
+                # No sequence fields: slots == fields, nothing to pool.
+                pooled = emb  # (B, nf, d)
+                fo_pooled = fo_vals  # (B, nf)
+            else:
+                # Segment-pool sequence slots into their field via a static
+                # 0/1 matrix (an MXU matmul, not a scatter).
+                pool = np.zeros((group.slot_end - group.slot_start, nf), np.float32)
+                pool[np.arange(len(group.slot_field)), group.slot_field] = 1.0
+                pool_m = jnp.asarray(pool, cdt)
+                pooled = jnp.einsum("bsd,sf->bfd", emb, pool_m)
+                fo_pooled = fo_vals @ pool_m
+                counts = mask @ pool_m  # (B, nf) valid-slot counts
+                # mean-combiner sequence fields divide by the valid count
+                # (empty bags -> 0), matching EmbeddingBag(mode="mean",
+                # padding_idx=0) (reference embedding.py:41-50).
+                divide = np.array(
+                    [
+                        1.0 if (seq and comb == "mean") else 0.0
+                        for seq, comb in zip(group.is_sequence, group.combiners)
+                    ],
+                    np.float32,
+                )
+                denom = jnp.maximum(counts, 1.0) * divide + (1.0 - divide)
+                pooled = pooled / denom[:, :, None]
+                fo_pooled = fo_pooled / denom
+
+            fo_parts.append(jnp.sum(fo_pooled, axis=1))
+
+            # Projection to fm_embed_dim (bias-free, per field) when needed.
+            if d != fm_d:
+                proj = self.param(
+                    f"proj_w{d}",
+                    xavier_uniform_shape(d, fm_d),
+                    (nf, d, fm_d),
+                )
+                projected = jnp.einsum("bfd,fdk->bfk", pooled, proj.astype(cdt))
+            else:
+                projected = pooled
+
+            for mi, name in enumerate(group.field_names):
+                field_raw[name] = pooled[:, mi, :]
+                field_proj[name] = projected[:, mi, :]
+
+        # ---- dense groups: broadcasted multiply-add ---------------------
+        if packed.num_dense > 0:
+            fo_w = self.param(
+                "dense_fo_w",
+                xavier_uniform_shape(1, 1),
+                (packed.num_dense,),
+            )
+            fo_b = self.param(
+                "dense_fo_b", nn.initializers.zeros, (packed.num_dense,)
+            )
+            fo_parts.append(
+                dense.astype(cdt) @ fo_w.astype(cdt) + jnp.sum(fo_b.astype(cdt))
+            )
+
+        for group in packed.dense_groups:
+            d = group.width
+            nf = len(group.field_names)
+            w = self.param(
+                f"dense_w{d}", xavier_uniform_shape(1, d), (nf, d)
+            )
+            b = self.param(f"dense_b{d}", nn.initializers.zeros, (nf, d))
+            x = dense[:, group.col_start : group.col_end].astype(cdt)  # (B, nf)
+            emb = x[:, :, None] * w.astype(cdt)[None] + b.astype(cdt)[None]
+
+            if d != fm_d:
+                proj = self.param(
+                    f"dense_proj_w{d}",
+                    xavier_uniform_shape(d, fm_d),
+                    (nf, d, fm_d),
+                )
+                projected = jnp.einsum("bfd,fdk->bfk", emb, proj.astype(cdt))
+            else:
+                projected = emb
+
+            for mi, name in enumerate(group.field_names):
+                field_raw[name] = emb[:, mi, :]
+                field_proj[name] = projected[:, mi, :]
+
+        # ---- assemble views in schema field order -----------------------
+        first_order = jnp.sum(jnp.stack(fo_parts, axis=0), axis=0)[:, None]
+        field_embeddings = jnp.stack(
+            [field_proj[n] for n in packed.field_order], axis=1
+        )
+        flat_embeddings = jnp.concatenate(
+            [field_raw[n] for n in packed.field_order], axis=-1
+        )
+        return first_order, field_embeddings, flat_embeddings

@@ -1,0 +1,29 @@
+from deepfm_tpu.parallel.embedding_shard import (
+    make_a2a_lookup,
+    make_lookup_fn,
+    make_psum_lookup,
+)
+from deepfm_tpu.parallel.mesh import (
+    AXIS_DATA,
+    AXIS_MODEL,
+    build_mesh,
+    initialize_distributed,
+)
+from deepfm_tpu.parallel.sharding import (
+    batch_shardings,
+    replicated,
+    state_shardings,
+)
+
+__all__ = [
+    "AXIS_DATA",
+    "AXIS_MODEL",
+    "batch_shardings",
+    "build_mesh",
+    "initialize_distributed",
+    "make_a2a_lookup",
+    "make_lookup_fn",
+    "make_psum_lookup",
+    "replicated",
+    "state_shardings",
+]
