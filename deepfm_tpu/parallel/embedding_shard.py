@@ -35,8 +35,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax>=0.5 moved shard_map out of experimental
-    from jax.sharding import shard_map  # type: ignore[attr-defined]
+try:  # jax>=0.8 promotes shard_map to the top level
+    from jax import shard_map  # type: ignore[attr-defined]
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 

@@ -1,0 +1,185 @@
+"""Trainer tests: smoke train, eval ranges, weight updates, scheduler,
+resume (reference test strategy: tests/test_trainer.py + resume addition)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_synth_batch, make_synth_schema
+from deepfm_tpu.data.dataset import iterate_batches
+from deepfm_tpu.data.packing import pack_features, pack_schema
+from deepfm_tpu.models import create_model
+from deepfm_tpu.training.trainer import PlateauScheduler, Trainer
+
+
+def _make_data(n=128, seed=1):
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, n, seed=seed)
+    # learnable structure with per-user label variety (so ranking groups
+    # keep both classes): label = parity of user+item
+    labels = (((feats["user"] + feats["item"]) % 2) == 0).astype(np.float32)
+    feats["user_id"] = feats["user"]
+    arr = pack_features(packed, feats, labels)
+    return packed, arr
+
+
+def _cfg(tmp_path, **training):
+    from deepfm_tpu.config import config_from_dict
+
+    tr = {"batch_size": 32, "num_epochs": 2, "scheduler": "none"}
+    tr.update(training)
+    return config_from_dict(
+        {
+            "output_dir": str(tmp_path),
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": tr,
+        }
+    )
+
+
+def test_smoke_train_returns_metrics(tmp_path):
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    best = tr.train()
+    assert "auc" in best and "logloss" in best
+    assert 0.0 <= best["auc"] <= 1.0
+    assert (tmp_path / "results.json").exists()
+    assert (tmp_path / "best_model").exists()
+
+
+def test_evaluate_ranges(tmp_path):
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    m = tr.evaluate(arr)
+    assert 0.0 <= m["auc"] <= 1.0
+    assert m["logloss"] > 0
+    # ranking metrics present because user_ids were packed
+    assert any(k.startswith("HR@") for k in m)
+
+
+def test_weights_change_after_step(tmp_path):
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    before = jax.device_get(tr.state.params)
+    batch = next(iterate_batches(arr, 32))
+    ids, dense, lab, w = tr._put_batch(
+        batch.ids, batch.dense, batch.labels, batch.weights
+    )
+    tr.state, _ = tr._train_step(tr.state, ids, dense, lab, w)
+    after = jax.device_get(tr.state.params)
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+        )
+    ]
+    assert max(diffs) > 0
+
+
+def test_padded_rows_do_not_affect_loss(tmp_path):
+    """Loss on a padded batch must equal loss on the unpadded rows."""
+    packed, arr = _make_data(n=24)
+    cfg = _cfg(tmp_path, batch_size=32)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    batch = next(iterate_batches(arr, 32))  # 24 real + 8 padded
+    assert batch.weights.sum() == 24
+    ids, dense, lab, w = tr._put_batch(
+        batch.ids, batch.dense, batch.labels, batch.weights
+    )
+    # manual weighted loss check
+    import optax
+
+    has_bn = bool(tr.state.batch_stats)
+    variables = {"params": tr.state.params}
+    if has_bn:
+        variables["batch_stats"] = tr.state.batch_stats
+    logits = model.apply(variables, ids, dense)[:, 0]
+    per = optax.sigmoid_binary_cross_entropy(logits, lab)
+    manual = float((per * w).sum() / w.sum())
+    unpadded = float(np.asarray(per)[:24].mean())
+    assert manual == pytest.approx(unpadded, rel=1e-6)
+
+
+def test_resume_roundtrip(tmp_path):
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path, num_epochs=2, resume=True)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    tr.train()
+    step_after = int(jax.device_get(tr.state.step))
+
+    cfg2 = _cfg(tmp_path, num_epochs=4, resume=True)
+    model2 = create_model("deepfm", packed, cfg2)
+    tr2 = Trainer(model2, packed, cfg2, arr, arr, arr)
+    meta = tr2._try_resume()
+    assert meta is not None
+    assert meta["epoch"] == 2
+    assert int(jax.device_get(tr2.state.step)) == step_after
+    # resumed params identical to saved ones
+    a = jax.tree_util.tree_leaves(jax.device_get(tr.state.params))
+    b = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_load_best_restores_params(tmp_path):
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    tr.train()
+    best_params = jax.device_get(tr.state.params)
+    # perturb live state, then restore best
+    tr.state = tr.state.replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0, tr.state.params)
+    )
+    tr.load_best()
+    restored = jax.device_get(tr.state.params)
+    # best checkpoint was saved at some epoch <= final; params must be
+    # finite and differ from the perturbed ones
+    for x, y in zip(
+        jax.tree_util.tree_leaves(best_params),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        assert np.isfinite(np.asarray(y)).all()
+        assert not np.allclose(np.asarray(y), np.asarray(x) + 1.0)
+
+
+class TestPlateauScheduler:
+    def test_reduces_after_patience(self):
+        s = PlateauScheduler(lr=1.0, factor=0.5, patience=2)
+        assert s.step(0.5) == 1.0  # best
+        assert s.step(0.5) == 1.0  # bad 1
+        assert s.step(0.5) == 1.0  # bad 2
+        assert s.step(0.5) == 0.5  # bad 3 > patience -> reduce
+        assert s.step(0.6) == 0.5  # new best resets
+
+    def test_improvement_resets(self):
+        s = PlateauScheduler(lr=1.0, factor=0.5, patience=1)
+        s.step(0.5)
+        s.step(0.4)
+        assert s.step(0.6) == 1.0  # improvement -> no reduction
+        assert s.num_bad == 0
+
+    def test_disabled(self):
+        s = PlateauScheduler(lr=1.0, enabled=False)
+        for _ in range(10):
+            assert s.step(0.0) == 1.0
+
+    def test_state_roundtrip(self):
+        s = PlateauScheduler(lr=1.0)
+        s.step(0.5)
+        s.step(0.4)
+        d = s.state_dict()
+        s2 = PlateauScheduler(lr=123.0)
+        s2.load_state_dict(d)
+        assert s2.lr == s.lr and s2.best == s.best and s2.num_bad == s.num_bad
