@@ -30,6 +30,7 @@ class AttentionDeepFM(CTRModel):
             num_layers=cfg.attention.num_layers,
             use_residual=cfg.attention.use_residual,
             compute_dtype=cdt,
+            use_pallas=cfg.pallas.use_attention_kernel,
             name="attention",
         )
         self.dnn = DNN(

@@ -20,18 +20,13 @@ class xDeepFM(CTRModel):
     def _build_components(self) -> None:
         cfg = self.config
         cdt = compute_dtype_of(cfg)
-        compress_fn = None
-        if cfg.pallas.use_cin_kernel:
-            from deepfm_tpu.ops.pallas.cin_kernel import cin_compress_pallas
-
-            compress_fn = cin_compress_pallas
         self.cin = CIN(
             num_fields=self.packed.num_fields,
             embed_dim=cfg.feature.fm_embed_dim,
             layer_sizes=cfg.cin.layer_sizes,
             split_half=cfg.cin.split_half,
             compute_dtype=cdt,
-            compress_fn=compress_fn,
+            use_pallas_stack=cfg.pallas.use_cin_kernel,
             name="cin",
         )
         self.dnn = DNN(

@@ -6,9 +6,10 @@ projection (embed_dim -> attention_dim), scaled dot-product softmax over the
 F fields, output projection back to embed_dim, optional residual + LayerNorm.
 
 F is small (~16-40 fields), so the whole score matrix fits comfortably in
-VMEM — the attention is a pair of MXU batched matmuls; no flash-style tiling
-required. Shapes are kept (B, heads, F, head_dim) so XLA batches the matmuls
-on the MXU.
+VMEM — no flash-style tiling required. Two execution paths share one
+parameter set: the jnp path (XLA batched matmuls) and the fully-fused
+Pallas block kernel (ops/pallas/attention_kernel.py, flag
+``pallas.use_attention_kernel``) that keeps Q/K/V/scores/context in VMEM.
 """
 
 from __future__ import annotations
@@ -26,42 +27,63 @@ class AttentionBlock(nn.Module):
     attention_dim: int
     use_residual: bool
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, f, d = x.shape
-        head_dim = self.attention_dim // self.num_heads
-        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, self.compute_dtype))
+        a = self.attention_dim
+        head_dim = a // self.num_heads
 
-        def dense(name: str, out_dim: int, fan_in: int):
-            return nn.Dense(
-                out_dim,
-                kernel_init=torch_linear_kernel(fan_in),
-                bias_init=torch_linear_bias(fan_in),
-                dtype=self.compute_dtype,
-                name=name,
+        p = {
+            "wq": self.param("wq", torch_linear_kernel(d), (d, a)),
+            "bq": self.param("bq", torch_linear_bias(d), (a,)),
+            "wk": self.param("wk", torch_linear_kernel(d), (d, a)),
+            "bk": self.param("bk", torch_linear_bias(d), (a,)),
+            "wv": self.param("wv", torch_linear_kernel(d), (d, a)),
+            "bv": self.param("bv", torch_linear_bias(d), (a,)),
+            "wo": self.param("wo", torch_linear_kernel(a), (a, d)),
+            "bo": self.param("bo", torch_linear_bias(a), (d,)),
+        }
+        if self.use_residual:
+            p["ln_scale"] = self.param("ln_scale", nn.initializers.ones, (d,))
+            p["ln_bias"] = self.param("ln_bias", nn.initializers.zeros, (d,))
+
+        if self.use_pallas:
+            from deepfm_tpu.ops.pallas.attention_kernel import (
+                make_attention_block_pallas,
             )
 
-        q = dense("W_q", self.attention_dim, d)(x)
-        k = dense("W_k", self.attention_dim, d)(x)
-        v = dense("W_v", self.attention_dim, d)(x)
+            fn = make_attention_block_pallas(self.num_heads, self.use_residual)
+            return fn(x.astype(self.compute_dtype), p).astype(
+                self.compute_dtype
+            )
 
-        def split_heads(t):
-            return t.reshape(b, f, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)
-
-        scores = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+        cdt = self.compute_dtype
+        x = x.astype(cdt)
+        x2 = x.reshape(b * f, d)
+        q = (x2 @ p["wq"].astype(cdt) + p["bq"].astype(cdt)).reshape(
+            b, f, self.num_heads, head_dim
+        )
+        k = (x2 @ p["wk"].astype(cdt) + p["bk"].astype(cdt)).reshape(
+            b, f, self.num_heads, head_dim
+        )
+        v = (x2 @ p["wv"].astype(cdt) + p["bv"].astype(cdt)).reshape(
+            b, f, self.num_heads, head_dim
+        )
+        scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, cdt))
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
         weights = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", weights, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, f, self.attention_dim)
-
-        out = dense("W_out", self.embed_dim, self.attention_dim)(out)
-
+        ctx = jnp.einsum("bhij,bjhd->bihd", weights, v).reshape(b * f, a)
+        out = (ctx @ p["wo"].astype(cdt) + p["bo"].astype(cdt)).reshape(
+            b, f, d
+        )
         if self.use_residual:
-            out = nn.LayerNorm(
-                epsilon=1e-5, dtype=self.compute_dtype, name="layer_norm"
-            )(out + x)
+            y = out + x
+            mean = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+            yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+            out = yn * p["ln_scale"].astype(cdt) + p["ln_bias"].astype(cdt)
         return out
 
 
@@ -72,6 +94,7 @@ class MultiHeadSelfAttention(nn.Module):
     num_layers: int = 1
     use_residual: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self) -> None:
         if self.attention_dim % self.num_heads != 0:
@@ -86,6 +109,7 @@ class MultiHeadSelfAttention(nn.Module):
                 attention_dim=self.attention_dim,
                 use_residual=self.use_residual,
                 compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
                 name=f"block_{i}",
             )
             for i in range(self.num_layers)

@@ -63,6 +63,10 @@ class CIN(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     # Swappable fused kernel: fn(hidden, x0, w, b) -> (B, M, D) pre-ReLU.
     compress_fn: object = None
+    # Fuse the WHOLE stack (all layers + ReLU + split + pooling) into one
+    # Pallas kernel (ops/pallas/cin_stack_kernel.py) — intermediates never
+    # touch HBM.
+    use_pallas_stack: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -78,6 +82,37 @@ class CIN(nn.Module):
             self.layer_sizes, self.split_half
         )
         compress = self.compress_fn or cin_compress
+
+        if self.use_pallas_stack:
+            from deepfm_tpu.ops.pallas.cin_stack_kernel import (
+                make_cin_stack_pallas,
+            )
+
+            weights, biases = [], []
+            prev = f
+            for i, layer_size in enumerate(self.layer_sizes):
+                in_ch = prev * f
+                weights.append(
+                    self.param(
+                        f"conv_{i}_kernel",
+                        torch_linear_kernel(in_ch),
+                        (layer_size, in_ch),
+                    )
+                )
+                biases.append(
+                    self.param(
+                        f"conv_{i}_bias",
+                        torch_linear_bias(in_ch),
+                        (layer_size,),
+                    )
+                )
+                prev = (
+                    next_sizes[i]
+                    if (self.split_half and i < len(self.layer_sizes) - 1)
+                    else layer_size
+                )
+            fn = make_cin_stack_pallas(self.layer_sizes, self.split_half)
+            return fn(x0, weights, biases).astype(self.compute_dtype)
 
         outputs: list[jax.Array] = []
         prev_maps = f

@@ -1,0 +1,154 @@
+"""Pallas kernel vs jnp-oracle parity (interpret mode on the CPU backend).
+
+Mirrors the SURVEY §4 implication: every hand-written kernel ships with a
+pure-jnp oracle and a parity test for values AND gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfm_tpu.ops.cin import CIN, cin_compress, cin_layer_sizes
+from deepfm_tpu.ops.pallas.cin_kernel import cin_compress_pallas
+
+
+class TestCinLayerKernel:
+    def test_forward_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        B, H, F, D, M = 16, 6, 4, 8, 10
+        hid = jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32))
+        x0 = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(M, H * F)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(M,)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(cin_compress_pallas(hid, x0, w, b)),
+            np.asarray(cin_compress(hid, x0, w, b)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_gradients_match_oracle(self):
+        rng = np.random.default_rng(1)
+        B, H, F, D, M = 8, 4, 4, 8, 6
+        args = (
+            jnp.asarray(rng.normal(size=(B, H, D)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(M, H * F)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(M,)).astype(np.float32)),
+        )
+        gp = jax.grad(
+            lambda *a: jnp.sum(cin_compress_pallas(*a) ** 2), argnums=(0, 1, 2, 3)
+        )(*args)
+        go = jax.grad(
+            lambda *a: jnp.sum(cin_compress(*a) ** 2), argnums=(0, 1, 2, 3)
+        )(*args)
+        for a, b in zip(gp, go):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+            )
+
+
+class TestCinStackKernel:
+    @pytest.mark.parametrize("layer_sizes", [(8,), (8, 6), (8, 6, 4)])
+    @pytest.mark.parametrize("split_half", [True, False])
+    def test_module_parity(self, layer_sizes, split_half):
+        rng = np.random.default_rng(2)
+        B, F, D = 16, 5, 8
+        x0 = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        m1 = CIN(num_fields=F, embed_dim=D, layer_sizes=layer_sizes,
+                 split_half=split_half)
+        m2 = CIN(num_fields=F, embed_dim=D, layer_sizes=layer_sizes,
+                 split_half=split_half, use_pallas_stack=True)
+        v = m1.init(jax.random.PRNGKey(0), x0)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(v, x0)), np.asarray(m2.apply(v, x0)),
+            rtol=1e-4, atol=1e-5,
+        )
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, x0) ** 2))(
+            v["params"]
+        )
+        g2 = jax.grad(lambda p: jnp.sum(m2.apply({"params": p}, x0) ** 2))(
+            v["params"]
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+            )
+
+    def test_output_dim(self):
+        ds, _ = cin_layer_sizes((128, 128, 64), True)
+        assert sum(ds) == 64 + 64 + 64
+
+
+class TestAttentionKernel:
+    @pytest.mark.parametrize("use_residual", [True, False])
+    def test_module_parity(self, use_residual):
+        from deepfm_tpu.ops.attention import MultiHeadSelfAttention
+
+        rng = np.random.default_rng(3)
+        B, F, D = 8, 5, 16
+        x = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        m1 = MultiHeadSelfAttention(
+            embed_dim=D, num_heads=2, attention_dim=16,
+            use_residual=use_residual,
+        )
+        m2 = MultiHeadSelfAttention(
+            embed_dim=D, num_heads=2, attention_dim=16,
+            use_residual=use_residual, use_pallas=True,
+        )
+        v = m1.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(v, x)), np.asarray(m2.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
+        g1 = jax.grad(lambda z: jnp.sum(m1.apply(v, z) ** 2))(x)
+        g2 = jax.grad(lambda z: jnp.sum(m2.apply(v, z) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3
+        )
+
+
+class TestEmbeddingGatherKernel:
+    def test_matches_take(self, monkeypatch):
+        from deepfm_tpu.ops.pallas import embedding_kernel
+
+        monkeypatch.setattr(embedding_kernel, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(4)
+        V, D, N = 1024, 16, 256  # 128-multiple tile in interpret mode
+        table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
+        got = embedding_kernel.pallas_lookup(table, ids)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+        )
+
+    def test_gradient_scatter_add(self, monkeypatch):
+        from deepfm_tpu.ops.pallas import embedding_kernel
+
+        monkeypatch.setattr(embedding_kernel, "FORCE_INTERPRET", True)
+        rng = np.random.default_rng(5)
+        V, D, N = 512, 16, 128
+        table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+        # include duplicates to exercise accumulate semantics
+        ids = jnp.asarray((rng.integers(0, 8, N)).astype(np.int32))
+
+        def loss_k(t):
+            return jnp.sum(embedding_kernel.pallas_lookup(t, ids) ** 2)
+
+        def loss_o(t):
+            return jnp.sum(jnp.take(t, ids, axis=0) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_k)(table)),
+            np.asarray(jax.grad(loss_o)(table)),
+            rtol=1e-5,
+        )
+
+    def test_fallback_on_unsupported_shapes(self):
+        from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
+
+        table = jnp.ones((10, 3))  # d=3 does not divide 128
+        ids = jnp.zeros((7,), jnp.int32)
+        assert pallas_lookup(table, ids).shape == (7, 3)

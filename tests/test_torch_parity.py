@@ -84,22 +84,22 @@ def test_attention_parity():
     p = v["params"]["block_0"]
     x = t(fe)
 
-    def lin(name):
-        w = t(p[name]["kernel"])  # flax (in, out)
-        b = t(p[name]["bias"])
+    def lin(wname, bname):
+        w = t(p[wname])  # (in, out)
+        b = t(p[bname])
         return lambda z: z @ w + b
 
-    q = lin("W_q")(x).view(B, F, 2, 8).transpose(1, 2)
-    k = lin("W_k")(x).view(B, F, 2, 8).transpose(1, 2)
-    vv = lin("W_v")(x).view(B, F, 2, 8).transpose(1, 2)
+    q = lin("wq", "bq")(x).view(B, F, 2, 8).transpose(1, 2)
+    k = lin("wk", "bk")(x).view(B, F, 2, 8).transpose(1, 2)
+    vv = lin("wv", "bv")(x).view(B, F, 2, 8).transpose(1, 2)
     scores = torch.matmul(q, k.transpose(-2, -1)) / np.sqrt(8)
     attn = torch.softmax(scores, dim=-1)
     out = torch.matmul(attn, vv).transpose(1, 2).reshape(B, F, 16)
-    out = lin("W_out")(out)
+    out = lin("wo", "bo")(out)
     ln = torch.nn.LayerNorm(D, eps=1e-5)
     with torch.no_grad():
-        ln.weight.copy_(t(v["params"]["block_0"]["layer_norm"]["scale"]))
-        ln.bias.copy_(t(v["params"]["block_0"]["layer_norm"]["bias"]))
+        ln.weight.copy_(t(p["ln_scale"]))
+        ln.bias.copy_(t(p["ln_bias"]))
     theirs = ln(out + x).detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-5)
 
