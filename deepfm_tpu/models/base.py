@@ -72,10 +72,20 @@ class CTRModel(nn.Module):
         return jax.nn.sigmoid(self(ids, dense, train=False))
 
 
-def embedding_l2_loss(params, l2_reg: float) -> jax.Array:
-    """l2_reg * sum of squared embedding params (reference base.py:78-83)."""
+def embedding_l2_loss(
+    params, l2_reg: float, exclude_tables: bool = False
+) -> jax.Array:
+    """l2_reg * sum of squared embedding params (reference base.py:78-83).
+
+    ``exclude_tables`` skips the fused lookup tables — used by the
+    lazy_adam path, which applies table L2 row-wise inside the sparse
+    update instead of as an O(vocab) loss term.
+    """
     emb = params["embedding"] if "embedding" in params else params
-    sq = sum(
-        jnp.sum(jnp.square(p)) for p in jax.tree_util.tree_leaves(emb)
-    )
+    leaves = []
+    for name, p in emb.items():
+        if exclude_tables and name.startswith(("table_w", "fo_table")):
+            continue
+        leaves.extend(jax.tree_util.tree_leaves(p))
+    sq = sum(jnp.sum(jnp.square(p)) for p in leaves)
     return l2_reg * sq

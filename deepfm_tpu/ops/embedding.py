@@ -118,14 +118,17 @@ class FeatureEmbedding(nn.Module):
         # ---- fused first-order table over ALL lookup fields -------------
         if packed.fo_rows > 0:
             fo_rows_padded = pad_rows(packed.fo_rows)
-            lookup_fields = packed.schema.lookup_fields
+            # fo_table regions are laid out in GROUP order (same order the
+            # fo_offsets were assigned in pack_schema) — not schema order.
+            fo_vocabs = [
+                packed.schema.fields[name].vocabulary_size
+                for group in packed.lookup_groups
+                for name in group.field_names
+            ]
             fo_table = self.param(
                 "fo_table",
                 make_table_init(
-                    [1] * len(lookup_fields),
-                    [f.vocabulary_size for f in lookup_fields],
-                    fo_rows_padded,
-                    1,
+                    [1] * len(fo_vocabs), fo_vocabs, fo_rows_padded, 1
                 ),
                 (fo_rows_padded, 1),
             )

@@ -1,0 +1,131 @@
+"""Row-sparse ("lazy") Adam for embedding tables.
+
+The reference optimizes embedding tables with dense Adam (reference:
+deepfm/training/trainer.py:67-78) — fine at MovieLens scale, but at
+production scale (10M+-row tables) every step would read and write the full
+parameter + mu + nu arrays (~10 HBM passes over gigabytes) for a batch that
+touches only ~400k rows. torch's own answer is SparseAdam; this is the
+jit-compatible TPU equivalent:
+
+  * autodiff still produces the table cotangent (duplicate ids are already
+    scatter-accumulated by the gather transpose — deterministic);
+  * the update gathers ONLY the touched rows of grad/mu/nu/param, applies
+    the Adam math with global-step bias correction, and scatters the new
+    rows back with first-occurrence dedupe (duplicates resolve to one
+    update; the dedupe uses a sort + run-boundary mask and out-of-bounds
+    "drop" scatters, so everything stays static-shaped under jit);
+  * embedding L2 for tables is applied as 2*l2*w on touched rows (lazy
+    decay — the standard SparseAdam semantics) instead of a full-table
+    loss term, keeping the whole update O(batch) instead of O(vocab).
+
+Select with ``training.optimizer: lazy_adam``.
+
+Measured reality on TPU v5e-lite (10.4M x 16 fused table, 442k ids/step):
+XLA's row scatter costs ~49 ms (~110 ns/row) regardless of unique_indices /
+sortedness, and this path performs THREE row scatters (param, mu, nu) where
+dense Adam performs one (the autodiff gather-transpose) plus cheap
+sequential full-array streaming passes (~1.5 ms each). Dense Adam therefore
+wins until the table is large enough that its streaming passes cost more
+than two extra scatters (V*d*4B * ~7 passes > ~100 ms -> table >> 2 GB per
+chip). Keep ``adam`` as the default; use lazy_adam for very large tables or
+memory-bound regimes (it also never materializes full-table Adam updates).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TableSlotState(NamedTuple):
+    mu: jax.Array  # (V, d)
+    nu: jax.Array  # (V, d)
+
+
+def init_table_state(table: jax.Array) -> TableSlotState:
+    return TableSlotState(mu=jnp.zeros_like(table), nu=jnp.zeros_like(table))
+
+
+def dedupe_ids(ids: jax.Array, num_rows: int) -> jax.Array:
+    """Map duplicate ids to an out-of-bounds drop index, keeping the first
+    occurrence of each distinct id. Returns (n,) scatter indices."""
+    sort_idx = jnp.argsort(ids)
+    s = ids[sort_idx]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )
+    # positions that are not the first of their run scatter to `num_rows`,
+    # which is out of bounds -> dropped with mode="drop".
+    target = jnp.where(first, s, num_rows)
+    out = jnp.full_like(ids, num_rows)
+    out = out.at[sort_idx].set(target)
+    return out
+
+
+def lazy_adam_table_update(
+    table: jax.Array,
+    grad: jax.Array,
+    state: TableSlotState,
+    ids: jax.Array,
+    *,
+    lr: jax.Array,
+    step: jax.Array,
+    l2: float = 0.0,
+    grad_scale: jax.Array | None = None,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> tuple[jax.Array, TableSlotState]:
+    """Adam on only the rows named by ``ids`` (duplicates deduped).
+
+    ``grad`` is the dense cotangent from autodiff (rows outside ``ids`` are
+    zero and never touched). ``grad_scale`` applies global-norm clipping.
+    """
+    v = table.shape[0]
+    scatter_ids = dedupe_ids(ids, v)
+    safe = jnp.minimum(ids, v - 1)
+
+    g = grad[safe]
+    if grad_scale is not None:
+        g = g * grad_scale
+    p = table[safe]
+    if l2 > 0:
+        # lazy L2: decay only touched rows (row 0s carry zero grad AND zero
+        # weight, so they stay exactly zero)
+        g = g + 2.0 * l2 * p
+
+    mu = state.mu[safe]
+    nu = state.nu[safe]
+    mu = b1 * mu + (1.0 - b1) * g
+    nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+
+    t = step.astype(jnp.float32) + 1.0
+    mu_hat = mu / (1.0 - jnp.power(b1, t))
+    nu_hat = nu / (1.0 - jnp.power(b2, t))
+    new_rows = p - lr * mu_hat / (jnp.sqrt(nu_hat) + eps)
+
+    table = table.at[scatter_ids].set(new_rows, mode="drop")
+    new_state = TableSlotState(
+        mu=state.mu.at[scatter_ids].set(mu, mode="drop"),
+        nu=state.nu.at[scatter_ids].set(nu, mode="drop"),
+    )
+    return table, new_state
+
+
+def table_ids_for_batch(packed, ids: jax.Array) -> dict[str, jax.Array]:
+    """Flat row-id streams per fused table for a packed (B, S) id batch.
+
+    Row 0 duplicates across fields are harmless: their rows are all-zero
+    with zero grads (forward mask), and the update leaves them at zero.
+    """
+    out: dict[str, jax.Array] = {}
+    for group in packed.lookup_groups:
+        sl = ids[:, group.slot_start : group.slot_end]
+        local = sl + jnp.asarray(group.local_offsets)[None, :]
+        out[f"table_w{group.width}"] = local.reshape(-1)
+    if packed.fo_rows > 0:
+        gids = ids + jnp.asarray(packed.fo_offsets)[None, :]
+        out["fo_table"] = gids.reshape(-1)
+    return out

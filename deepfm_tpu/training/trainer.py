@@ -51,25 +51,49 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    # lazy_adam only: per-table row-sparse Adam moments (name -> state)
+    table_opt: Any = None
 
 
-def build_optimizer(config: ExperimentConfig) -> optax.GradientTransformation:
+def _is_table_name(name: str) -> bool:
+    return name.startswith(("table_w", "fo_table"))
+
+
+def build_optimizer(
+    config: ExperimentConfig, params: Any | None = None
+) -> optax.GradientTransformation:
     """Optimizer chain: global-norm clip -> Adam/AdamW/SGD(momentum 0.9).
 
     Wrapped in inject_hyperparams so the host can adjust the learning rate
     between epochs (reduce-on-plateau) without recompilation.
+
+    ``optimizer: lazy_adam`` keeps Adam for the dense towers (via
+    optax.masked over the non-table leaves — clipping is then applied
+    globally inside the train step so the clip norm still covers table
+    grads) and row-sparse Adam (training/sparse_opt.py) for the embedding
+    tables.
     """
     tc = config.training
+    lazy = tc.optimizer == "lazy_adam"
 
     def make(learning_rate):
-        if tc.optimizer == "adam":
+        name = "adam" if lazy else tc.optimizer
+        if name == "adam":
             opt = optax.adam(learning_rate)
-        elif tc.optimizer == "adamw":
+        elif name == "adamw":
             opt = optax.adamw(learning_rate)
-        elif tc.optimizer == "sgd":
+        elif name == "sgd":
             opt = optax.sgd(learning_rate, momentum=0.9)
         else:
             raise ValueError(f"Unknown optimizer: {tc.optimizer}")
+        if lazy:
+            mask = jax.tree_util.tree_map_with_path(
+                lambda path, _: not any(
+                    _is_table_name(str(getattr(k, "key", ""))) for k in path
+                ),
+                params,
+            )
+            return optax.masked(opt, mask)
         parts = []
         if tc.gradient_clip_norm > 0:
             parts.append(optax.clip_by_global_norm(tc.gradient_clip_norm))
@@ -163,7 +187,7 @@ class Trainer:
         self.root_key = jax.random.PRNGKey(seed)
         self.np_rng = np.random.default_rng(seed)
 
-        self.tx = build_optimizer(config)
+        self.lazy_tables = config.training.optimizer == "lazy_adam"
         self.scheduler = PlateauScheduler(
             lr=config.training.lr,
             enabled=config.training.scheduler == "reduce_on_plateau",
@@ -194,19 +218,32 @@ class Trainer:
         ids, dense = self._dummy_batch()
         init_key, self.root_key = jax.random.split(self.root_key)
 
-        def init_fn(key):
-            variables = self.model.init(key, ids, dense, train=False)
-            params = variables["params"]
-            batch_stats = variables.get("batch_stats", {})
+        variables = jax.jit(
+            lambda key: self.model.init(key, ids, dense, train=False)
+        )(init_key)
+        params = variables["params"]
+        self.tx = build_optimizer(self.config, params)
+
+        def init_fn(params):
             opt_state = self.tx.init(params)
+            table_opt = None
+            if self.lazy_tables:
+                from deepfm_tpu.training.sparse_opt import init_table_state
+
+                table_opt = {
+                    name: init_table_state(p)
+                    for name, p in params["embedding"].items()
+                    if _is_table_name(name)
+                }
             return TrainState(
                 params=params,
-                batch_stats=batch_stats,
+                batch_stats=variables.get("batch_stats", {}),
                 opt_state=opt_state,
                 step=jnp.zeros((), jnp.int32),
+                table_opt=table_opt,
             )
 
-        state = jax.jit(init_fn)(init_key)
+        state = jax.jit(init_fn)(params)
         if self.mesh is not None:
             from deepfm_tpu.parallel.sharding import state_shardings
 
@@ -221,7 +258,10 @@ class Trainer:
     def _build_train_step(self):
         model = self.model
         tx = self.tx
+        packed = self.packed_schema
         l2_reg = self.config.feature.embedding_l2_reg
+        clip = self.config.training.gradient_clip_norm
+        lazy = self.lazy_tables
         dropout_root = jax.random.fold_in(self.root_key, 0xD0)
         has_bn = bool(self.state.batch_stats)
 
@@ -246,21 +286,93 @@ class Trainer:
                 denom = jnp.maximum(jnp.sum(weights), 1.0)
                 loss = jnp.sum(per_row * weights) / denom
                 if l2_reg > 0:
-                    loss = loss + embedding_l2_loss(params, l2_reg)
+                    # lazy path: table L2 is applied row-wise in the sparse
+                    # update, not as an O(vocab) loss term
+                    loss = loss + embedding_l2_loss(
+                        params, l2_reg, exclude_tables=lazy
+                    )
                 new_bs = mutated.get("batch_stats", state.batch_stats)
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+
+            if not lazy:
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+                return (
+                    state.replace(
+                        params=new_params,
+                        batch_stats=new_bs,
+                        opt_state=new_opt,
+                        step=state.step + 1,
+                    ),
+                    loss,
+                )
+
+            # ---- lazy_adam: global clip + masked dense Adam + row-sparse
+            # table Adam ------------------------------------------------
+            from deepfm_tpu.training.sparse_opt import (
+                lazy_adam_table_update,
+                table_ids_for_batch,
+            )
+
+            if clip > 0:
+                gnorm = optax.global_norm(grads)
+                scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+            else:
+                scale = jnp.asarray(1.0, jnp.float32)
+
+            emb_grads = grads["embedding"]
+            dense_grads = {
+                k: (
+                    {
+                        name: (
+                            jnp.zeros_like(g)
+                            if _is_table_name(name)
+                            else g * scale
+                        )
+                        for name, g in emb_grads.items()
+                    }
+                    if k == "embedding"
+                    else jax.tree_util.tree_map(lambda g: g * scale, v)
+                )
+                for k, v in grads.items()
+            }
+
+            updates, new_opt = tx.update(
+                dense_grads, state.opt_state, state.params
+            )
             new_params = optax.apply_updates(state.params, updates)
+
+            lr = state.opt_state.hyperparams["learning_rate"]
+            tids = table_ids_for_batch(packed, ids)
+            new_emb = dict(new_params["embedding"])
+            new_table_opt = dict(state.table_opt)
+            for name, row_ids in tids.items():
+                new_emb[name], new_table_opt[name] = lazy_adam_table_update(
+                    new_emb[name],
+                    emb_grads[name],
+                    state.table_opt[name],
+                    row_ids,
+                    lr=lr,
+                    step=state.step,
+                    l2=l2_reg,
+                    grad_scale=scale,
+                )
+            new_params = dict(new_params)
+            new_params["embedding"] = new_emb
+
             return (
                 state.replace(
                     params=new_params,
                     batch_stats=new_bs,
                     opt_state=new_opt,
                     step=state.step + 1,
+                    table_opt=new_table_opt,
                 ),
                 loss,
             )
@@ -486,15 +598,15 @@ class Trainer:
     ) -> None:
         if not self.config.training.resume:
             return
-        save_checkpoint(
-            {
-                "params": jax.device_get(self.state.params),
-                "batch_stats": jax.device_get(self.state.batch_stats),
-                "opt_state": jax.device_get(self.state.opt_state),
-                "step": jax.device_get(self.state.step),
-            },
-            self.output_dir / "last_state",
-        )
+        ckpt = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": jax.device_get(self.state.step),
+        }
+        if self.state.table_opt is not None:
+            ckpt["table_opt"] = jax.device_get(self.state.table_opt)
+        save_checkpoint(ckpt, self.output_dir / "last_state")
         save_results(
             {
                 "epoch": epoch,
@@ -521,12 +633,15 @@ class Trainer:
             "opt_state": jax.device_get(self.state.opt_state),
             "step": jax.device_get(self.state.step),
         }
+        if self.state.table_opt is not None:
+            template["table_opt"] = jax.device_get(self.state.table_opt)
         ckpt = load_checkpoint(path, template)
         state = TrainState(
             params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
             opt_state=ckpt["opt_state"],
             step=jnp.asarray(ckpt["step"]),
+            table_opt=ckpt.get("table_opt"),
         )
         if self.mesh is not None:
             from deepfm_tpu.parallel.sharding import state_shardings

@@ -52,6 +52,22 @@ class TestFeatureEmbedding:
         np.testing.assert_allclose(np.asarray(fe), 0.0, atol=1e-7)
         np.testing.assert_allclose(np.asarray(fl), 0.0, atol=1e-7)
 
+    def test_padding_rows_zero_at_init(self, emb_setup):
+        """Every field's row 0 (and the padding tail) is zero at init, at
+        the GROUP-ordered offsets (regression: fo_table was initialized in
+        schema order while offsets are assigned in group order)."""
+        schema, packed, arr, module, variables = emb_setup
+        params = variables["params"]
+        fo = np.asarray(params["fo_table"])
+        for off in np.unique(packed.fo_offsets):
+            assert abs(fo[off]).max() == 0.0, f"fo_table row {off}"
+        assert abs(fo[packed.fo_rows :]).max() == 0.0  # padding tail
+        for g in packed.lookup_groups:
+            tab = np.asarray(params[f"table_w{g.width}"])
+            for off in np.unique(g.local_offsets):
+                assert abs(tab[off]).max() == 0.0
+            assert abs(tab[g.total_rows :]).max() == 0.0
+
     def test_padding_rows_get_zero_gradient(self, emb_setup):
         schema, packed, arr, module, variables = emb_setup
         ids = jnp.asarray(arr.ids)
