@@ -1,0 +1,31 @@
+.PHONY: train evaluate compare test test-all lint format bench synth-data
+
+CONFIG ?= configs/deepfm_movielens.yaml
+ARGS ?=
+
+train:
+	python -m deepfm_tpu train --config $(CONFIG) --override $(ARGS)
+
+evaluate:
+	python -m deepfm_tpu evaluate --config $(CONFIG) --override $(ARGS)
+
+compare:
+	python -m deepfm_tpu compare --dir outputs
+
+synth-data:
+	python -m deepfm_tpu synth-data --dir data/ml-100k-synth --rows 50000
+
+test:
+	python -m pytest tests/ -q
+
+test-all:
+	python -m pytest tests/ -q -m ""
+
+bench:
+	python bench.py
+
+lint:
+	ruff check deepfm_tpu tests bench.py __graft_entry__.py || true
+
+format:
+	ruff format deepfm_tpu tests bench.py __graft_entry__.py || true
