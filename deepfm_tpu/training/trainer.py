@@ -34,7 +34,6 @@ import optax
 from flax import struct
 
 from deepfm_tpu.config import ExperimentConfig
-from deepfm_tpu.data.dataset import iterate_batches
 from deepfm_tpu.data.packing import PackedArrays, PackedSchema
 from deepfm_tpu.models.base import CTRModel, embedding_l2_loss
 from deepfm_tpu.training.metrics import (
@@ -404,6 +403,59 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    # device-resident epoch staging
+    #
+    # Per-batch host->device transfers and per-step result fetches are
+    # round trips; on remote-attached TPUs each costs real latency. The
+    # whole (shuffled, padded) epoch is staged to the device ONCE as
+    # (num_batches, B, ...) arrays, batches are sliced on-device, and the
+    # loop synchronizes a single scalar per epoch.
+    # ------------------------------------------------------------------
+
+    def _stage_epoch(
+        self, data: PackedArrays, batch_size: int, *, shuffle: bool,
+        drop_remainder: bool,
+    ):
+        n = len(data)
+        order = np.arange(n)
+        if shuffle:
+            self.np_rng.shuffle(order)
+        if drop_remainder and n >= batch_size:
+            usable = (n // batch_size) * batch_size
+            order = order[:usable]
+        nb = -(-len(order) // batch_size)
+        pad = nb * batch_size - len(order)
+        weights = np.ones(len(order), np.float32)
+        if pad:
+            order = np.concatenate([order, np.zeros(pad, np.int64)])
+            weights = np.concatenate([weights, np.zeros(pad, np.float32)])
+
+        ids = data.ids[order].reshape(nb, batch_size, -1)
+        dense = data.dense[order].reshape(nb, batch_size, -1)
+        labels = data.labels[order].reshape(nb, batch_size)
+        weights = weights.reshape(nb, batch_size)
+
+        if self.mesh is None:
+            put = jnp.asarray
+            staged = tuple(put(a) for a in (ids, dense, labels, weights))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from deepfm_tpu.parallel.mesh import AXIS_DATA
+
+            def sh(a):
+                spec = P(None, AXIS_DATA, *([None] * (a.ndim - 2)))
+                return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+            staged = tuple(sh(a) for a in (ids, dense, labels, weights))
+        return nb, staged
+
+    @staticmethod
+    @jax.jit
+    def _slice_batch(staged, i):
+        return tuple(a[i] for a in staged)
+
+    # ------------------------------------------------------------------
     # training loop
     # ------------------------------------------------------------------
 
@@ -499,29 +551,19 @@ class Trainer:
         tc = self.config.training
         n = len(self.train_data)
         drop = n >= tc.batch_size  # keep BN stats clean of padded rows
-        total_loss = 0.0
-        num_batches = 0
-        n_examples = 0
-        loss = None
-        for batch in iterate_batches(
-            self.train_data,
-            tc.batch_size,
-            shuffle=True,
-            rng=self.np_rng,
-            drop_remainder=drop,
-        ):
-            ids, dense, labels, weights = self._put_batch(
-                batch.ids, batch.dense, batch.labels, batch.weights
-            )
+        nb, staged = self._stage_epoch(
+            self.train_data, tc.batch_size, shuffle=True, drop_remainder=drop
+        )
+        loss_sum = jnp.zeros((), jnp.float32)
+        for i in range(nb):
+            ids, dense, labels, weights = self._slice_batch(staged, i)
             self.state, loss = self._train_step(
                 self.state, ids, dense, labels, weights
             )
-            total_loss += float(loss)
-            num_batches += 1
-            n_examples += int(batch.weights.sum())
-        if loss is not None:
-            jax.block_until_ready(loss)
-        return total_loss / max(num_batches, 1), n_examples
+            loss_sum = loss_sum + loss  # device-side; no per-step sync
+        total_loss = float(loss_sum)  # single sync per epoch
+        n_examples = min(n, nb * tc.batch_size) if not drop else nb * tc.batch_size
+        return total_loss / max(nb, 1), n_examples
 
     # ------------------------------------------------------------------
     # evaluation
@@ -532,14 +574,27 @@ class Trainer:
     ) -> dict[str, float]:
         tc = self.config.training
         n = len(data)
-        probs_parts: list[np.ndarray] = []
-        for batch in iterate_batches(data, tc.batch_size, shuffle=False):
-            ids, dense = self._put_batch(batch.ids, batch.dense)
-            p = self._eval_step(
-                self.state.params, self.state.batch_stats, ids, dense
+        cache = getattr(self, "_eval_stage_cache", None)
+        if cache is None:
+            cache = self._eval_stage_cache = {}
+        key = id(data)
+        if key not in cache:
+            cache[key] = self._stage_epoch(
+                data, tc.batch_size, shuffle=False, drop_remainder=False
             )
-            probs_parts.append(np.asarray(p))
-        scores = np.concatenate(probs_parts)[:n]
+            if len(cache) > 4:  # bound device memory
+                cache.pop(next(iter(cache)))
+        nb, staged = cache[key]
+        probs_parts = []
+        for i in range(nb):
+            ids, dense, _, _ = self._slice_batch(staged, i)
+            probs_parts.append(
+                self._eval_step(
+                    self.state.params, self.state.batch_stats, ids, dense
+                )
+            )
+        # concatenate on device; ONE host fetch for the whole split
+        scores = np.asarray(jnp.concatenate(probs_parts))[:n]
         labels = data.labels
 
         metrics: dict[str, float] = {}

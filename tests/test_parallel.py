@@ -156,3 +156,45 @@ def test_sharded_train_step_matches_unsharded():
     flat_1 = jax.tree_util.tree_leaves(params_1)
     for a, b in zip(flat_sh, flat_1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("model_name", ["xdeepfm", "attention_deepfm"])
+def test_pallas_kernels_under_mesh(model_name):
+    """Kernel-enabled models must compile and run under a (data, model)
+    mesh (GSPMD partitions around the custom calls)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.dataset import iterate_batches
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.parallel import make_lookup_fn
+    from deepfm_tpu.training.trainer import Trainer
+
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 32, seed=5)
+    arr = pack_features(packed, feats, labels)
+    cfg = config_from_dict(
+        {
+            "output_dir": "/tmp/ptest_mesh",
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {"batch_size": 32},
+            "attention": {"num_heads": 2, "attention_dim": 16},
+            "cin": {"layer_sizes": [8, 8]},
+        }
+    )
+    mesh = build_mesh(4, 2)
+    model = create_model(
+        model_name, packed, cfg, lookup_fn=make_lookup_fn(mesh, "psum")
+    )
+    tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+    batch = next(iterate_batches(arr, 32))
+    ids, dense, lab, w = tr._put_batch(
+        batch.ids, batch.dense, batch.labels, batch.weights
+    )
+    tr.state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+    assert np.isfinite(float(loss))
