@@ -125,6 +125,12 @@ class PallasConfig:
     use_embedding_kernel: bool = False
     use_cin_kernel: bool = True
     use_attention_kernel: bool = True
+    # Sort+one-hot-matmul densification of embedding-table gradients
+    # (ops/pallas/grad_kernel.py) replacing XLA's serial row scatter —
+    # the dominant train-step cost at production vocab sizes (~4.7x
+    # faster at 10.4M x 17, exact to f32 working precision). TPU only;
+    # tables >= 2^24 rows fall back to the XLA scatter automatically.
+    use_grad_kernel: bool = True
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,13 @@ def create_model(
         from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
 
         lookup_fn = pallas_lookup
+    if lookup_fn is None and config.pallas.use_grad_kernel:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from deepfm_tpu.ops.pallas.grad_kernel import sparse_grad_lookup
+
+            lookup_fn = sparse_grad_lookup
     return MODEL_REGISTRY[name](packed=packed, config=config, lookup_fn=lookup_fn)
 
 

@@ -11,8 +11,11 @@ TPU-native differences (deliberate, not incidental):
   * All tables of one embedding width are fused into a single table with
     per-field row offsets (see data/packing.py), so a batch does one wide
     gather per width group instead of 2 x num_fields small gathers.
-  * The first-order weights of every table-backed field live in ONE vector
-    (total_vocab,) — a single gather.
+  * The first-order scalar weight of every field rides as the LAST COLUMN
+    of its width group's fused table — the same gather serves both the
+    second-order embedding and the first-order term, and backward emits a
+    single row scatter per group (scatters are the dominant train-step
+    cost at production vocab sizes).
   * Dense-feature "embeddings" (reference: per-field nn.Linear(1, d)) are a
     broadcasted multiply-add over a (num_dense_fields, d) weight block.
   * padding/OOV semantics (reference padding_idx=0 per field) are enforced by
@@ -56,24 +59,57 @@ def pad_rows(rows: int, multiple: int = ROW_PAD) -> int:
 
 
 def make_table_init(
-    widths: list[int], vocab_sizes: list[int], padded_rows: int, width: int
+    emb_width: int, vocab_sizes: list[int], padded_rows: int,
+    fo_column: bool = True,
 ):
     """Per-field Xavier-uniform init with each field's row 0 (and padding
     rows) zeroed — matches reference init semantics (reference:
     deepfm/models/layers/embedding.py:66-74: xavier_uniform on weight[1:],
     padding row stays zero).
+
+    When ``fo_column`` is set the table carries the field's FIRST-ORDER
+    scalar weights as its last column (see FeatureEmbedding below): that
+    column gets the xavier bound of a width-1 embedding,
+    sqrt(6 / (1 + (v-1))), while the embedding columns get
+    sqrt(6 / (d + (v-1))) — exactly the per-table bounds the reference
+    applies to its separate second-order/first-order nn.Embeddings.
+
+    The per-row scale is computed ON DEVICE from per-field metadata (a few
+    scalars per field) rather than materialized host-side: a (rows, width)
+    constant would bake hundreds of MB into the executable at production
+    vocab sizes.
     """
-    scale = np.zeros((padded_rows, 1), dtype=np.float32)
-    cursor = 0
-    for d, v in zip(widths, vocab_sizes):
-        bound = math.sqrt(6.0 / (d + max(v - 1, 1)))
-        scale[cursor + 1 : cursor + v] = bound
-        cursor += v
+    width = emb_width + (1 if fo_column else 0)
+    nf = len(vocab_sizes)
+    # per-field metadata (tiny constants)
+    bounds = np.asarray(
+        [[0.0, 0.0]]  # sentinel for padding rows
+        + [
+            [
+                math.sqrt(6.0 / (emb_width + max(v - 1, 1))),
+                math.sqrt(6.0 / (1 + max(v - 1, 1))),
+            ]
+            for v in vocab_sizes
+        ],
+        np.float32,
+    )
+    starts = np.zeros(nf + 1, np.int64)
+    np.cumsum(vocab_sizes, out=starts[1:])
+    total = int(starts[-1])
 
     def init(key, shape, dtype=jnp.float32):
         assert shape == (padded_rows, width), (shape, padded_rows, width)
         u = jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
-        return u * jnp.asarray(scale, dtype)
+        row = jnp.arange(padded_rows)
+        fld = jnp.searchsorted(jnp.asarray(starts), row, side="right")  # 1..nf
+        fld = jnp.where(row < total, fld, 0)  # padding tail -> sentinel
+        # each field's row 0 stays zero (padding/OOV semantics)
+        fld = jnp.where(row == jnp.asarray(starts)[jnp.maximum(fld - 1, 0)], 0, fld)
+        b = jnp.asarray(bounds, dtype)[fld]  # (rows, 2)
+        scale = jnp.broadcast_to(b[:, :1], (padded_rows, emb_width))
+        if fo_column:
+            scale = jnp.concatenate([scale, b[:, 1:2]], axis=1)
+        return u * scale
 
     return init
 
@@ -115,25 +151,14 @@ class FeatureEmbedding(nn.Module):
         field_proj: dict[str, jax.Array] = {}  # (B, fm_d) projected
         fo_parts: list[jax.Array] = []  # (B,) first-order contributions
 
-        # ---- fused first-order table over ALL lookup fields -------------
-        if packed.fo_rows > 0:
-            fo_rows_padded = pad_rows(packed.fo_rows)
-            # fo_table regions are laid out in GROUP order (same order the
-            # fo_offsets were assigned in pack_schema) — not schema order.
-            fo_vocabs = [
-                packed.schema.fields[name].vocabulary_size
-                for group in packed.lookup_groups
-                for name in group.field_names
-            ]
-            fo_table = self.param(
-                "fo_table",
-                make_table_init(
-                    [1] * len(fo_vocabs), fo_vocabs, fo_rows_padded, 1
-                ),
-                (fo_rows_padded, 1),
-            )
-
         # ---- lookup groups: one fused gather per embedding width --------
+        # Each width-d table is (rows, d+1): columns 0..d-1 are the
+        # second-order embedding, column d is the field's FIRST-ORDER scalar
+        # weight. One gather serves both views, and (critically) backward
+        # emits ONE row-scatter per width group instead of two — the
+        # reference's separate first-order nn.Embedding
+        # (deepfm/models/layers/embedding.py:34-40) would double the
+        # dominant scatter cost on TPU.
         for gi, group in enumerate(packed.lookup_groups):
             d = group.width
             members = [packed.schema.fields[n] for n in group.field_names]
@@ -141,26 +166,21 @@ class FeatureEmbedding(nn.Module):
             table = self.param(
                 f"table_w{d}",
                 make_table_init(
-                    [d] * len(members),
+                    d,
                     [f.vocabulary_size for f in members],
                     rows_padded,
-                    d,
                 ),
-                (rows_padded, d),
+                (rows_padded, d + 1),
             )
 
             ids_g = ids[:, group.slot_start : group.slot_end]  # (B, S_g)
             mask = (ids_g != 0).astype(cdt)  # (B, S_g)
             local = ids_g + jnp.asarray(group.local_offsets)[None, :]
 
-            emb = self._lookup(table, local).astype(cdt)  # (B, S_g, d)
-            emb = emb * mask[:, :, None]
-
-            fo_off = jnp.asarray(
-                packed.fo_offsets[group.slot_start : group.slot_end]
-            )
-            fo_vals = self._lookup(fo_table, ids_g + fo_off[None, :]).astype(cdt)
-            fo_vals = fo_vals[:, :, 0] * mask  # (B, S_g)
+            raw = self._lookup(table, local).astype(cdt)  # (B, S_g, d+1)
+            raw = raw * mask[:, :, None]
+            emb = raw[:, :, :d]
+            fo_vals = raw[:, :, d]  # (B, S_g)
 
             nf = len(members)
             if group.slot_end - group.slot_start == nf:

@@ -1,0 +1,270 @@
+"""Pallas TPU kernel: embedding-gradient densification without XLA scatter.
+
+The transpose of an embedding gather is a row scatter-add into the table.
+XLA:TPU lowers that scatter SERIALLY at ~110-160 ns per row regardless of
+sortedness hints — measured 45-70 ms for the ~442k rows a production CTR
+batch touches (batch 16384 x 27 slots), which makes the scatter the
+dominant cost of the whole train step (bench.py workload).
+
+This kernel replaces it with sort + tiled one-hot matmul:
+
+  1. XLA side: argsort the flat row ids (a few ms for 442k) and lay the
+     sorted stream out TRANSPOSED (columns = stream position — Mosaic
+     only slices the lane dimension at 128-aligned boundaries, and the
+     one-hot compare wants ids on lanes):
+       * ``ids_t  (8, n)  f32`` — the sorted row ids (exact below 2^24);
+       * ``pay_t (3D, n) bf16`` — each cotangent value EXACTLY split
+         into three bf16 planes (sign/exp + mantissa bits 23..17,
+         16..9, 8..1 — each a run of <= 8 significand bits, hence
+         exactly bf16-representable). The single-pass bf16 MXU matmul
+         with f32 accumulation then reproduces the f32 scatter-add to
+         f32 working precision — without the multi-pass
+         HIGHEST-precision penalty.
+  2. per (TILE_ROWS, D) tile of the dense output, the two consecutive
+     128-lane windows covering the tile's stream segment arrive through
+     the pallas pipeline (block index derived from the scalar-prefetched
+     per-tile stream offsets); the kernel builds a (TILE_ROWS, W)
+     one-hot membership matrix on the VPU and accumulates grad rows with
+     ONE bf16 MXU matmul, summing the hi/lo halves after.
+  3. tiles with more than CHUNK update rows (hot ids / heavy skew) fall
+     back to a manual windowed-DMA loop over the same stream.
+
+Duplicate ids sum naturally through the matmul (same semantics as
+scatter-add, deterministic). The dense (V, D) cotangent comes out ~5x
+faster, and everything downstream (optax Adam, global-norm clipping,
+lazy_adam row updates) is unchanged — this is a drop-in custom-VJP for
+``jnp.take``.
+
+Exposed as ``sparse_grad_lookup`` (LookupFn) and enabled by default via
+``pallas.use_grad_kernel``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_ROWS = 1024  # dense-output rows per grid step
+CHUNK = 128  # stream elements per window step
+WIN = 2 * CHUNK  # working window: 128-aligned start + CHUNK coverage
+
+# f32 represents integers exactly below 2**24; row ids beyond that would
+# corrupt the id lanes. Larger tables fall back to the XLA scatter path.
+MAX_ROWS_F32 = 1 << 24
+
+
+def _pad(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _accumulate(out_ref, ids_lane, payload, row_base, d, first):
+    """One (TILE_ROWS, W) one-hot matmul over a stream window.
+
+    ``ids_lane``: (1, W) f32 ids; ``payload``: (PR, W) bf16 split rows.
+    Output block is TRANSPOSED (d, TILE_ROWS): a (rows, 17) output would
+    force XLA's T(8,128) lane padding onto the dense grad AND the
+    table/mu/nu buffers it meets downstream — a 7.5x HBM blow-up.
+    """
+    w = payload.shape[1]
+    local = ids_lane - row_base
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_ROWS, w), 0).astype(
+            jnp.float32
+        )
+        == local
+    )
+    prod = jax.lax.dot_general(
+        payload,
+        onehot.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),  # contract lanes
+        preferred_element_type=jnp.float32,
+    )  # (PR, TILE_ROWS) f32
+    upd = prod[:d] + prod[d : 2 * d] + prod[2 * d : 3 * d]
+    if first:
+        out_ref[:] = upd
+    else:
+        out_ref[:] += upd
+
+
+def _densify_kernel(
+    starts_ref,  # scalar-prefetch: (num_tiles,) int32
+    counts_ref,  # scalar-prefetch: (num_tiles,) int32
+    ids_a,  # (8, CHUNK) VMEM f32 — window at block starts[t]//CHUNK
+    ids_b,  # (8, CHUNK) VMEM f32 — following window
+    pay_a,  # (PR, CHUNK) VMEM bf16
+    pay_b,  # (PR, CHUNK) VMEM bf16
+    ids_hbm,  # (8, n_pad) f32 in HBM (overflow chunks)
+    pay_hbm,  # (PR, n_pad) bf16 in HBM (overflow chunks)
+    out_ref,  # (d, TILE_ROWS) VMEM block of the TRANSPOSED dense grad
+    ibuf,  # VMEM scratch (8, WIN) f32
+    pbuf,  # VMEM scratch (PR, WIN) bf16
+    sem_i,
+    sem_p,
+    *,
+    d: int,
+):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    row_base = (t * TILE_ROWS).astype(jnp.float32)
+
+    # ---- chunk 0: windows via the pallas pipeline ----------------------
+    off0 = (start // CHUNK) * CHUNK
+    pos0 = off0 + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+    hi0 = start + jnp.minimum(count, CHUNK)
+    valid0 = (pos0 >= start) & (pos0 < hi0)
+    ids0 = jnp.where(
+        valid0,
+        jnp.concatenate([ids_a[0:1, :], ids_b[0:1, :]], axis=1),
+        -1.0,
+    )
+    pay0 = jnp.concatenate([pay_a[:], pay_b[:]], axis=1)
+    _accumulate(out_ref, ids0, pay0, row_base, d, first=True)
+
+    # ---- overflow chunks (count > CHUNK, rare): manual windowed DMA ----
+    nchunks = pl.cdiv(count, CHUNK)
+
+    def body(c, _):
+        lo = start + c * CHUNK
+        off = pl.multiple_of((lo // CHUNK) * CHUNK, CHUNK)
+        cpi = pltpu.make_async_copy(
+            ids_hbm.at[:, pl.ds(off, WIN)], ibuf, sem_i
+        )
+        cpp = pltpu.make_async_copy(
+            pay_hbm.at[:, pl.ds(off, WIN)], pbuf, sem_p
+        )
+        cpi.start()
+        cpp.start()
+        cpi.wait()
+        cpp.wait()
+        pos = off + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        hi = jnp.minimum(count, (c + 1) * CHUNK) + start
+        valid = (pos >= lo) & (pos < hi)
+        ids_lane = jnp.where(valid, ibuf[0:1, :], -1.0)
+        _accumulate(out_ref, ids_lane, pbuf[:], row_base, d, first=False)
+        return 0
+
+    jax.lax.fori_loop(1, nchunks, body, 0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def densify_rows_grad(ct: jax.Array, ids: jax.Array, num_rows: int):
+    """Dense (num_rows, D) cotangent from per-occurrence rows + ids.
+
+    Semantically equivalent to ``zeros.at[ids].add(ct)`` (duplicates
+    summed, deterministic); the bf16 hi/lo split reconstructs f32 values
+    to ~1e-6 relative accuracy at single-pass MXU speed.
+    """
+    n, d = ct.shape
+    ids = ids.astype(jnp.int32)
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    grows = ct[order].astype(jnp.float32)
+
+    num_tiles = pl.cdiv(num_rows, TILE_ROWS)
+    pr = _pad(3 * d, 16)  # bf16 sublane tiling, 3 split planes
+    sentinel = float(num_tiles * TILE_ROWS)
+    n_pad = _pad(n, CHUNK) + WIN
+
+    # EXACT 3-way mantissa split: every f32 value decomposes into
+    # hi (sign/exp + mantissa bits 23..17) + mid (bits 16..9) +
+    # lo (bits 8..1), each term exactly representable in bf16 (a run of
+    # <= 8 significand bits). The bf16 matmul then accumulates the same
+    # terms as an f32 scatter-add, to f32 working precision. Computed
+    # with integer bit ops because XLA under --xla_allow_excess_precision
+    # is entitled to fold the naive ``x - f32(bf16(x))`` round-trip to 0.
+    bits = jax.lax.bitcast_convert_type(grows, jnp.uint32)
+    t16 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFF0000), jnp.float32
+    )
+    t24 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFFFF00), jnp.float32
+    )
+    hi = t16.astype(jnp.bfloat16)
+    mid = (t24 - t16).astype(jnp.bfloat16)
+    lo = (grows - t24).astype(jnp.bfloat16)
+
+    ids_t = jnp.zeros((8, n_pad), jnp.float32)
+    ids_t = ids_t.at[0, :].set(sentinel)
+    ids_t = ids_t.at[0, :n].set(sids.astype(jnp.float32))
+
+    pay_t = jnp.zeros((pr, n_pad), jnp.bfloat16)
+    pay_t = pay_t.at[:d, :n].set(hi.T)
+    pay_t = pay_t.at[d : 2 * d, :n].set(mid.T)
+    pay_t = pay_t.at[2 * d : 3 * d, :n].set(lo.T)
+
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_ROWS
+    edges = jnp.searchsorted(sids, bounds).astype(jnp.int32)
+    starts, ends = edges[:-1], edges[1:]
+    counts = ends - starts
+
+    win_a = lambda t, starts, counts: (0, starts[t] // CHUNK)  # noqa: E731
+    win_b = lambda t, starts, counts: (0, starts[t] // CHUNK + 1)  # noqa: E731
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, CHUNK), win_a, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, CHUNK), win_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pr, CHUNK), win_a, memory_space=pltpu.VMEM),
+            pl.BlockSpec((pr, CHUNK), win_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (d, TILE_ROWS), lambda t, *_: (0, t), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, WIN), jnp.float32),
+            pltpu.VMEM((pr, WIN), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_densify_kernel, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d, num_tiles * TILE_ROWS), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * TILE_ROWS * WIN * pr,
+            bytes_accessed=4 * num_tiles * TILE_ROWS * d + n * (pr * 2 + 4),
+            transcendentals=0,
+        ),
+    )(starts, counts, ids_t, ids_t, pay_t, pay_t, ids_t, pay_t)
+    return out[:, :num_rows].T
+
+
+def sparse_grad_lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
+    """Drop-in LookupFn: XLA gather forward, Pallas densify backward.
+
+    Falls back to the plain gather/scatter pair when the table exceeds the
+    f32-exact id range (>= 2^24 rows).
+    """
+    if table.shape[0] >= MAX_ROWS_F32:
+        return jnp.take(table, flat_ids, axis=0)
+    return _lookup_vjp(table, flat_ids)
+
+
+@jax.custom_vjp
+def _lookup_vjp(table, flat_ids):
+    return jnp.take(table, flat_ids, axis=0)
+
+
+def _lookup_fwd(table, flat_ids):
+    return jnp.take(table, flat_ids, axis=0), (flat_ids, table.shape[0])
+
+
+def _lookup_bwd(res, ct):
+    flat_ids, num_rows = res
+    dtable = densify_rows_grad(ct, flat_ids, num_rows)
+    return dtable, np.zeros(flat_ids.shape, jax.dtypes.float0)
+
+
+_lookup_vjp.defvjp(_lookup_fwd, _lookup_bwd)

@@ -125,7 +125,4 @@ def table_ids_for_batch(packed, ids: jax.Array) -> dict[str, jax.Array]:
         sl = ids[:, group.slot_start : group.slot_end]
         local = sl + jnp.asarray(group.local_offsets)[None, :]
         out[f"table_w{group.width}"] = local.reshape(-1)
-    if packed.fo_rows > 0:
-        gids = ids + jnp.asarray(packed.fo_offsets)[None, :]
-        out["fo_table"] = gids.reshape(-1)
     return out

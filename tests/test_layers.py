@@ -53,17 +53,13 @@ class TestFeatureEmbedding:
         np.testing.assert_allclose(np.asarray(fl), 0.0, atol=1e-7)
 
     def test_padding_rows_zero_at_init(self, emb_setup):
-        """Every field's row 0 (and the padding tail) is zero at init, at
-        the GROUP-ordered offsets (regression: fo_table was initialized in
-        schema order while offsets are assigned in group order)."""
+        """Every field's row 0 (and the padding tail) is zero at init —
+        including the fused first-order column (table column `width`)."""
         schema, packed, arr, module, variables = emb_setup
         params = variables["params"]
-        fo = np.asarray(params["fo_table"])
-        for off in np.unique(packed.fo_offsets):
-            assert abs(fo[off]).max() == 0.0, f"fo_table row {off}"
-        assert abs(fo[packed.fo_rows :]).max() == 0.0  # padding tail
         for g in packed.lookup_groups:
             tab = np.asarray(params[f"table_w{g.width}"])
+            assert tab.shape[1] == g.width + 1  # emb cols + fo col
             for off in np.unique(g.local_offsets):
                 assert abs(tab[off]).max() == 0.0
             assert abs(tab[g.total_rows :]).max() == 0.0
@@ -80,14 +76,11 @@ class TestFeatureEmbedding:
         grads = jax.grad(loss)(variables["params"])
         # each field's row 0 within each fused table must have zero grad
         for gname, g in grads.items():
-            if not gname.startswith(("table_w", "fo_table")):
+            if not gname.startswith("table_w"):
                 continue
-            if gname == "fo_table":
-                offsets = np.unique(packed.fo_offsets)
-            else:
-                width = int(gname.split("w")[1])
-                group = [x for x in packed.lookup_groups if x.width == width][0]
-                offsets = np.unique(group.local_offsets)
+            width = int(gname.split("w")[1])
+            group = [x for x in packed.lookup_groups if x.width == width][0]
+            offsets = np.unique(group.local_offsets)
             for off in offsets:
                 np.testing.assert_allclose(
                     np.asarray(g)[off], 0.0, atol=1e-7,
@@ -109,7 +102,7 @@ class TestFeatureEmbedding:
         )
         table = np.asarray(params[f"table_w{group.width}"])
         off = group.local_offsets[0]
-        expected = (table[off + 3] + table[off + 5]) / 2
+        expected = (table[off + 3, :8] + table[off + 5, :8]) / 2
         # tags is the 3rd schema field; flat layout is schema order
         start = 16 + 16
         np.testing.assert_allclose(
@@ -123,12 +116,13 @@ class TestFeatureEmbedding:
         fo, _, _ = module.apply(
             variables, jnp.asarray(arr.ids), jnp.asarray(arr.dense)
         )
-        fo_table = np.asarray(params["fo_table"])[:, 0]
         manual = np.zeros(B)
         for g in packed.lookup_groups:
+            # first-order scalars live in the LAST column of the width table
+            fo_col = np.asarray(params[f"table_w{g.width}"])[:, g.width]
             sl = slice(g.slot_start, g.slot_end)
-            gids = ids[:, sl] + packed.fo_offsets[sl][None, :]
-            vals = fo_table[gids] * (ids[:, sl] != 0)
+            gids = ids[:, sl] + g.local_offsets[None, :]
+            vals = fo_col[gids] * (ids[:, sl] != 0)
             # per-field mean pooling for the sequence field
             for mi, (n_slots, seq) in enumerate(
                 zip(g.field_num_slots, g.is_sequence)

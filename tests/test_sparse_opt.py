@@ -110,8 +110,10 @@ def test_table_ids_for_batch(synth_schema):
     packed = pack_schema(synth_schema)
     ids = jnp.zeros((4, packed.num_slots), jnp.int32).at[:, :].set(1)
     tids = table_ids_for_batch(packed, ids)
-    assert set(tids) == {"table_w8", "table_w16", "fo_table"}
-    assert tids["fo_table"].shape == (4 * packed.num_slots,)
+    # first-order weights ride as a table column, so the width tables are
+    # the only sparse-update targets
+    assert set(tids) == {"table_w8", "table_w16"}
+    assert tids["table_w16"].shape == (4 * 2,)  # 2 sparse slots of width 16
 
 
 def test_trainer_lazy_adam_learns(tmp_path):
@@ -154,6 +156,3 @@ def test_trainer_lazy_adam_learns(tmp_path):
         tab = np.asarray(p[f"table_w{g.width}"])
         for off in np.unique(g.local_offsets):
             assert abs(tab[off]).max() == 0.0
-    fo = np.asarray(p["fo_table"])
-    for off in np.unique(packed.fo_offsets):
-        assert abs(fo[off]).max() == 0.0
