@@ -87,23 +87,29 @@ def bench_tpu() -> float:
         test_data=arrays,
     )
 
-    ids = jnp.asarray(arrays.ids)
-    dense = jnp.asarray(arrays.dense)
-    lab = jnp.asarray(arrays.labels)
-    w = jnp.ones((BATCH,), jnp.float32)
+    # measure the production path: STEPS steps per dispatch via the
+    # trainer's epoch scan (one compiled program, loop chained on-device)
+    def tile(a):
+        return jnp.broadcast_to(jnp.asarray(a), (STEPS,) + a.shape)
+
+    staged = (
+        tile(arrays.ids),
+        tile(arrays.dense),
+        tile(arrays.labels),
+        jnp.ones((STEPS, BATCH), jnp.float32),
+    )
 
     for _ in range(WARMUP):
         trainer.state, loss = trainer._train_step(
-            trainer.state, ids, dense, lab, w
+            trainer.state, staged[0][0], staged[1][0], staged[2][0],
+            staged[3][0],
         )
+    trainer.state, _ = trainer._epoch_scan(trainer.state, staged)  # compile
     jax.block_until_ready(trainer.state)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        trainer.state, loss = trainer._train_step(
-            trainer.state, ids, dense, lab, w
-        )
-    jax.block_until_ready(trainer.state)
+    trainer.state, loss = trainer._epoch_scan(trainer.state, staged)
+    jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt
 

@@ -199,6 +199,8 @@ class Trainer:
         self.state = self._init_state()
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._epoch_scan = self._build_epoch_scan()
+        self._eval_scan = self._build_eval_scan()
         self.epoch = 0
         self.throughput: dict[str, float] = {}
 
@@ -455,6 +457,44 @@ class Trainer:
     def _slice_batch(staged, i):
         return tuple(a[i] for a in staged)
 
+    def _build_epoch_scan(self):
+        """One jitted dispatch for a WHOLE epoch: lax.scan over the staged
+        (num_batches, B, ...) arrays.
+
+        Per-step dispatches pay a host->device round trip each (several
+        ms on remote-attached TPUs); an epoch is one compiled program with
+        the step chained on-device, so the loop costs one round trip
+        total. Dropout keys keep folding from the on-device step counter,
+        so this is numerically identical to the per-step path.
+        """
+        train_step = self._train_step
+
+        @partial(jax.jit, donate_argnums=0)
+        def epoch_scan(state: TrainState, staged):
+            def body(st, batch):
+                ids, dense, labels, weights = batch
+                st, loss = train_step(st, ids, dense, labels, weights)
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, staged)
+            return state, jnp.sum(losses)
+
+        return epoch_scan
+
+    def _build_eval_scan(self):
+        eval_step = self._eval_step
+
+        @jax.jit
+        def eval_scan(params, batch_stats, ids_all, dense_all):
+            def body(_, batch):
+                ids, dense = batch
+                return None, eval_step(params, batch_stats, ids, dense)
+
+            _, probs = jax.lax.scan(body, None, (ids_all, dense_all))
+            return probs.reshape(-1)
+
+        return eval_scan
+
     # ------------------------------------------------------------------
     # training loop
     # ------------------------------------------------------------------
@@ -554,13 +594,8 @@ class Trainer:
         nb, staged = self._stage_epoch(
             self.train_data, tc.batch_size, shuffle=True, drop_remainder=drop
         )
-        loss_sum = jnp.zeros((), jnp.float32)
-        for i in range(nb):
-            ids, dense, labels, weights = self._slice_batch(staged, i)
-            self.state, loss = self._train_step(
-                self.state, ids, dense, labels, weights
-            )
-            loss_sum = loss_sum + loss  # device-side; no per-step sync
+        # whole epoch = ONE dispatch (lax.scan over the staged batches)
+        self.state, loss_sum = self._epoch_scan(self.state, staged)
         total_loss = float(loss_sum)  # single sync per epoch
         n_examples = min(n, nb * tc.batch_size) if not drop else nb * tc.batch_size
         return total_loss / max(nb, 1), n_examples
@@ -585,16 +620,11 @@ class Trainer:
             if len(cache) > 4:  # bound device memory
                 cache.pop(next(iter(cache)))
         nb, staged = cache[key]
-        probs_parts = []
-        for i in range(nb):
-            ids, dense, _, _ = self._slice_batch(staged, i)
-            probs_parts.append(
-                self._eval_step(
-                    self.state.params, self.state.batch_stats, ids, dense
-                )
-            )
-        # concatenate on device; ONE host fetch for the whole split
-        scores = np.asarray(jnp.concatenate(probs_parts))[:n]
+        # whole split = ONE dispatch + ONE host fetch
+        probs = self._eval_scan(
+            self.state.params, self.state.batch_stats, staged[0], staged[1]
+        )
+        scores = np.asarray(probs)[:n]
         labels = data.labels
 
         metrics: dict[str, float] = {}

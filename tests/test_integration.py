@@ -28,9 +28,14 @@ def test_full_pipeline_deepfm(tmp_path):
                 "use_native_sampler": True,
             },
             "dnn": {"hidden_units": [64, 32], "dropout": 0.1},
+            # 5 epochs: at 3 the AUC sits right at the 0.5 assert line and
+            # flips with the init draw (verified by a param-transplant A/B:
+            # model math is bit-identical across the fused-fo refactor;
+            # only the rng draw layout changed). By epoch 5 the margin is
+            # comfortable (~0.56) across seeds.
             "training": {
                 "batch_size": 4096,
-                "num_epochs": 3,
+                "num_epochs": 5,
                 "scheduler": "reduce_on_plateau",
             },
         }

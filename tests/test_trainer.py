@@ -183,3 +183,41 @@ class TestPlateauScheduler:
         s2 = PlateauScheduler(lr=123.0)
         s2.load_state_dict(d)
         assert s2.lr == s.lr and s2.best == s.best and s2.num_bad == s.num_bad
+
+
+def test_epoch_scan_matches_per_step_loop(tmp_path):
+    """The one-dispatch lax.scan epoch must be numerically identical to
+    stepping batch-by-batch (same shuffle order, same dropout folding)."""
+    packed, arr = _make_data(n=96, seed=3)
+    cfg = _cfg(tmp_path, batch_size=32, num_epochs=1)
+
+    def run(step_fn):
+        model = create_model("deepfm", packed, cfg)
+        tr = Trainer(model, packed, cfg, arr, arr, arr)
+        tr.np_rng = np.random.default_rng(0)  # fix the shuffle stream
+        nb, staged = tr._stage_epoch(
+            arr, 32, shuffle=True, drop_remainder=True
+        )
+        return step_fn(tr, nb, staged)
+
+    def via_scan(tr, nb, staged):
+        state, loss = tr._epoch_scan(tr.state, staged)
+        return float(loss), jax.device_get(state.params)
+
+    def via_loop(tr, nb, staged):
+        total = 0.0
+        for i in range(nb):
+            ids, dense, labels, weights = tr._slice_batch(staged, i)
+            tr.state, loss = tr._train_step(
+                tr.state, ids, dense, labels, weights
+            )
+            total += float(loss)
+        return total, jax.device_get(tr.state.params)
+
+    loss_s, params_s = run(via_scan)
+    loss_l, params_l = run(via_loop)
+    assert loss_s == pytest.approx(loss_l, rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_s), jax.tree_util.tree_leaves(params_l)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
