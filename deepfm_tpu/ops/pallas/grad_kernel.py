@@ -164,7 +164,11 @@ def densify_rows_grad(ct: jax.Array, ids: jax.Array, num_rows: int):
     ids = ids.astype(jnp.int32)
     order = jnp.argsort(ids)
     sids = ids[order]
-    grows = ct[order].astype(jnp.float32)
+    # transpose FIRST, in f32: XLA's f32 transposes fuse cheaply, while a
+    # bf16 (2,1)-packed transpose of the split planes costs ~10ms at this
+    # size. Everything after this line is elementwise in the transposed
+    # layout.
+    grows = ct[order].astype(jnp.float32).T  # (d, n)
 
     num_tiles = pl.cdiv(num_rows, TILE_ROWS)
     pr = _pad(3 * d, 16)  # bf16 sublane tiling, 3 split planes
@@ -194,9 +198,9 @@ def densify_rows_grad(ct: jax.Array, ids: jax.Array, num_rows: int):
     ids_t = ids_t.at[0, :n].set(sids.astype(jnp.float32))
 
     pay_t = jnp.zeros((pr, n_pad), jnp.bfloat16)
-    pay_t = pay_t.at[:d, :n].set(hi.T)
-    pay_t = pay_t.at[d : 2 * d, :n].set(mid.T)
-    pay_t = pay_t.at[2 * d : 3 * d, :n].set(lo.T)
+    pay_t = pay_t.at[:d, :n].set(hi)
+    pay_t = pay_t.at[d : 2 * d, :n].set(mid)
+    pay_t = pay_t.at[2 * d : 3 * d, :n].set(lo)
 
     bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_ROWS
     edges = jnp.searchsorted(sids, bounds).astype(jnp.int32)
@@ -238,6 +242,13 @@ def densify_rows_grad(ct: jax.Array, ids: jax.Array, num_rows: int):
             transcendentals=0,
         ),
     )(starts, counts, ids_t, ids_t, pay_t, pay_t, ids_t, pay_t)
+    # NOTE on layouts: the transposed output deliberately leads XLA to
+    # store the param table COLUMN-major ((17, V) physical). That is the
+    # right call on TPU — a row-major (V, 17) tiled T(8,128) array pads
+    # its lane dimension 17 -> 128 (7.5x HBM, OOM at production scale;
+    # verified by forcing row-major via with_layout_constraint). The
+    # col-major table costs ~2x on the forward gather (strided element
+    # reads) but keeps params + Adam state compact.
     return out[:, :num_rows].T
 
 

@@ -66,6 +66,15 @@ def build_optimizer(
     Wrapped in inject_hyperparams so the host can adjust the learning rate
     between epochs (reduce-on-plateau) without recompilation.
 
+    Embedding L2 regularization (reference: deepfm/models/base.py:78-83,
+    a loss term ``l2 * sum(w^2)`` over embedding params) is applied here
+    as ``add_decayed_weights(2*l2)`` masked to the embedding subtree,
+    BEFORE clipping — mathematically identical to the loss term's
+    gradient contribution, but fused into the optimizer's elementwise
+    pipeline instead of costing two extra full passes over the tables in
+    the loss/backward (measured ~10ms/step at 10.4M-row scale). The
+    logged train loss therefore excludes the L2 term.
+
     ``optimizer: lazy_adam`` keeps Adam for the dense towers (via
     optax.masked over the non-table leaves — clipping is then applied
     globally inside the train step so the clip norm still covers table
@@ -74,6 +83,13 @@ def build_optimizer(
     """
     tc = config.training
     lazy = tc.optimizer == "lazy_adam"
+    l2_reg = config.feature.embedding_l2_reg
+
+    def emb_mask(params):
+        return {
+            k: jax.tree_util.tree_map(lambda _: k == "embedding", v)
+            for k, v in params.items()
+        }
 
     def make(learning_rate):
         name = "adam" if lazy else tc.optimizer
@@ -94,6 +110,8 @@ def build_optimizer(
             )
             return optax.masked(opt, mask)
         parts = []
+        if l2_reg > 0:
+            parts.append(optax.add_decayed_weights(2.0 * l2_reg, mask=emb_mask))
         if tc.gradient_clip_norm > 0:
             parts.append(optax.clip_by_global_norm(tc.gradient_clip_norm))
         parts.append(opt)
@@ -286,11 +304,14 @@ class Trainer:
                 per_row = optax.sigmoid_binary_cross_entropy(logits, labels)
                 denom = jnp.maximum(jnp.sum(weights), 1.0)
                 loss = jnp.sum(per_row * weights) / denom
-                if l2_reg > 0:
-                    # lazy path: table L2 is applied row-wise in the sparse
-                    # update, not as an O(vocab) loss term
+                if l2_reg > 0 and lazy:
+                    # lazy path only: non-table embedding params get their
+                    # L2 as a loss term (tables get row-wise lazy decay in
+                    # the sparse update). The dense-optimizer path applies
+                    # L2 as fused weight decay inside the optimizer chain
+                    # (see build_optimizer).
                     loss = loss + embedding_l2_loss(
-                        params, l2_reg, exclude_tables=lazy
+                        params, l2_reg, exclude_tables=True
                     )
                 new_bs = mutated.get("batch_stats", state.batch_stats)
                 return loss, new_bs

@@ -221,3 +221,63 @@ def test_epoch_scan_matches_per_step_loop(tmp_path):
         jax.tree_util.tree_leaves(params_s), jax.tree_util.tree_leaves(params_l)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_l2_as_weight_decay_matches_loss_term(tmp_path):
+    """Optimizer-fused embedding L2 (add_decayed_weights before clip) must
+    produce the same update as the reference's loss-term formulation."""
+    import optax
+
+    from deepfm_tpu.models.base import embedding_l2_loss
+
+    packed, arr = _make_data(n=32, seed=5)
+    l2 = 1e-3
+    cfg = _cfg(tmp_path, optimizer="sgd", gradient_clip_norm=1.0)
+    cfg = cfg.__class__(**{**cfg.__dict__})  # frozen copy
+    from deepfm_tpu.config import config_from_dict
+
+    cfg = config_from_dict(
+        {
+            "output_dir": str(tmp_path),
+            "feature": {"embedding_l2_reg": l2},
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {
+                "batch_size": 32, "num_epochs": 1, "scheduler": "none",
+                "optimizer": "sgd", "gradient_clip_norm": 1.0,
+            },
+        }
+    )
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    batch = next(iterate_batches(arr, 32))
+    ids, dense, lab, w = tr._put_batch(
+        batch.ids, batch.dense, batch.labels, batch.weights
+    )
+    before = jax.device_get(tr.state.params)
+    tr.state, _ = tr._train_step(tr.state, ids, dense, lab, w)
+    after_decay = jax.device_get(tr.state.params)
+
+    # manual reference: grad of (bce + l2 loss term), clip, sgd — with the
+    # same train-mode forward (BN batch statistics) as the real step
+    bs = jax.device_get(tr.state.batch_stats)
+
+    def loss_fn(p):
+        vb = {"params": p, "batch_stats": bs} if bs else {"params": p}
+        logits, _ = model.apply(
+            vb, ids, dense, train=True,
+            rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )
+        logits = logits[:, 0]
+        per = optax.sigmoid_binary_cross_entropy(logits, lab)
+        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss + embedding_l2_loss(p, l2)
+
+    g = jax.grad(loss_fn)(before)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.sgd(1e-3, momentum=0.9))
+    upd, _ = tx.update(g, tx.init(before), before)
+    want = optax.apply_updates(before, upd)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(after_decay), jax.tree_util.tree_leaves(want)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
