@@ -43,41 +43,64 @@ except ImportError:  # pragma: no cover
 from deepfm_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL
 
 
-def _psum_lookup_local(table_shard, ids, *, rows_per_shard, axis):
+def _local_lookup(table_shard, ids, use_grad_kernel=None):
+    """Per-shard row gather.
+
+    On TPU the gather's backward uses the Pallas densify kernel
+    (ops/pallas/grad_kernel.py) — inside shard_map each shard would
+    otherwise pay XLA's serial row-scatter on its local table, the same
+    bottleneck the single-chip path had. ``use_grad_kernel`` overrides
+    the backend gate (tests force the kernel in interpret mode).
+    """
+    if use_grad_kernel is None:
+        use_grad_kernel = jax.default_backend() == "tpu"
+    if use_grad_kernel:
+        from deepfm_tpu.ops.pallas.grad_kernel import sparse_grad_lookup
+
+        return sparse_grad_lookup(table_shard, ids)
+    return jnp.take(table_shard, ids, axis=0)
+
+
+def _psum_lookup_local(table_shard, ids, *, rows_per_shard, axis,
+                       use_grad_kernel=None):
     """Local body: gather owned rows, zero others, sum over the model axis."""
     shard = jax.lax.axis_index(axis)
     local = ids - shard * rows_per_shard
     ok = (local >= 0) & (local < rows_per_shard)
     safe = jnp.where(ok, local, 0)
-    vals = jnp.take(table_shard, safe, axis=0)
+    vals = _local_lookup(table_shard, safe, use_grad_kernel)
     vals = vals * ok[:, None].astype(vals.dtype)
     return jax.lax.psum(vals, axis)
 
 
-def make_psum_lookup(mesh: Mesh):
+def make_psum_lookup(mesh: Mesh, use_grad_kernel: bool | None = None):
     """lookup_fn(table (V,d), flat_ids (n,)) -> (n,d), exact psum strategy."""
     m = mesh.shape[AXIS_MODEL]
 
     def lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         if m == 1:
-            return jnp.take(table, flat_ids, axis=0)
+            return _local_lookup(table, flat_ids, use_grad_kernel)
         v = table.shape[0]
         assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
         body = partial(
-            _psum_lookup_local, rows_per_shard=v // m, axis=AXIS_MODEL
+            _psum_lookup_local, rows_per_shard=v // m, axis=AXIS_MODEL,
+            use_grad_kernel=use_grad_kernel,
         )
         return shard_map(
             body,
             mesh=mesh,
             in_specs=(P(AXIS_MODEL, None), P(AXIS_DATA)),
             out_specs=P(AXIS_DATA),
+            # pallas_call outputs can't declare varying-mesh-axes yet
+            check_vma=False,
         )(table, flat_ids)
 
     return lookup
 
 
 def _a2a_lookup_local(
-    table_shard, ids, *, rows_per_shard, m, capacity, axis
+    table_shard, ids, *, rows_per_shard, m, capacity, axis,
+    use_grad_kernel=None,
 ):
     """Routed lookup body: bucket ids by owner, all_to_all, gather, route back.
 
@@ -106,7 +129,7 @@ def _a2a_lookup_local(
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
 
     local = jnp.clip(recv - me * rows_per_shard, 0, rows_per_shard - 1)
-    rows = jnp.take(table_shard, local.reshape(-1), axis=0)
+    rows = _local_lookup(table_shard, local.reshape(-1), use_grad_kernel)
     rows = rows.reshape(m, capacity, -1)
 
     # Route rows back: row k of back = rows for the ids I sent to shard k.
@@ -119,20 +142,24 @@ def _a2a_lookup_local(
     return out, overflow
 
 
-def make_a2a_lookup(mesh: Mesh, capacity_factor: float = 2.0):
+def make_a2a_lookup(
+    mesh: Mesh,
+    capacity_factor: float = 2.0,
+    use_grad_kernel: bool | None = None,
+):
     """EP-style all-to-all routed lookup with psum overflow fallback."""
     m = mesh.shape[AXIS_MODEL]
     dp = mesh.shape[AXIS_DATA]
 
     def lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         if m == 1:
-            return jnp.take(table, flat_ids, axis=0)
+            return _local_lookup(table, flat_ids, use_grad_kernel)
         v = table.shape[0]
         assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
         n = flat_ids.shape[0]
         if n % (dp * m) != 0:
             # id stream does not split over both axes: use exact psum path
-            return make_psum_lookup(mesh)(table, flat_ids)
+            return make_psum_lookup(mesh, use_grad_kernel)(table, flat_ids)
         n_loc = n // (dp * m)
         capacity = min(
             n_loc, max(8, int(capacity_factor * -(-n_loc // m)))
@@ -143,15 +170,17 @@ def make_a2a_lookup(mesh: Mesh, capacity_factor: float = 2.0):
             m=m,
             capacity=capacity,
             axis=AXIS_MODEL,
+            use_grad_kernel=use_grad_kernel,
         )
         rows, overflow = shard_map(
             body,
             mesh=mesh,
             in_specs=(P(AXIS_MODEL, None), P((AXIS_DATA, AXIS_MODEL))),
             out_specs=(P((AXIS_DATA, AXIS_MODEL)), P((AXIS_DATA, AXIS_MODEL))),
+            check_vma=False,
         )(table, flat_ids)
         # Exact fallback for ids that overflowed their capacity bucket.
-        fallback = make_psum_lookup(mesh)(
+        fallback = make_psum_lookup(mesh, use_grad_kernel)(
             table, jnp.where(overflow, flat_ids, 0)
         )
         return jnp.where(overflow[:, None], fallback, rows)

@@ -198,3 +198,30 @@ def test_pallas_kernels_under_mesh(model_name):
     )
     tr.state, loss = tr._train_step(tr.state, ids, dense, lab, w)
     assert np.isfinite(float(loss))
+
+
+def test_psum_lookup_grad_kernel_parity():
+    """The Pallas densify backward inside shard_map must match the plain
+    take() backward (forced on in interpret mode on the CPU mesh)."""
+    from deepfm_tpu.parallel.embedding_shard import make_psum_lookup
+
+    mesh = build_mesh(2, 4)
+    v, d, n = 512, 8, 64
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, n), jnp.int32)
+    up = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+
+    def loss(lookup):
+        return lambda t: jnp.sum(lookup(t, ids) * up)
+
+    base = make_psum_lookup(mesh, use_grad_kernel=False)
+    kern = make_psum_lookup(mesh, use_grad_kernel=True)
+    np.testing.assert_allclose(
+        float(loss(base)(table)), float(loss(kern)(table)), rtol=1e-6
+    )
+    g0 = jax.grad(loss(base))(table)
+    g1 = jax.grad(loss(kern))(table)
+    np.testing.assert_allclose(
+        np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6
+    )
