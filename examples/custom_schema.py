@@ -6,6 +6,12 @@ names. This example builds a 4-field dataset from raw numpy arrays.
     python examples/custom_schema.py
 """
 
+# allow running straight from a source checkout (repo root on sys.path)
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from deepfm_tpu.config import config_from_dict
@@ -67,7 +73,7 @@ config = config_from_dict(
         "model_name": "xdeepfm",
         "output_dir": "/tmp/custom-out",
         "cin": {"layer_sizes": [32, 32]},
-        "training": {"num_epochs": 2, "batch_size": 2048},
+        "training": {"num_epochs": 8, "batch_size": 2048},
     }
 )
 model = create_model(config.model_name, packed, config)

@@ -5,6 +5,12 @@ Run from the repo root:
     python examples/quickstart.py
 """
 
+# allow running straight from a source checkout (repo root on sys.path)
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 from deepfm_tpu.config import config_from_dict
 from deepfm_tpu.data.movielens import MovieLensAdapter
 from deepfm_tpu.data.packing import pack_schema
