@@ -259,6 +259,11 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     config = load_config(args.config, args.override or None)
+    if config.mesh.multihost:
+        # must precede every other JAX call on each host of the slice
+        from deepfm_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
     if args.command == "train":
         train_command(config)
     elif args.command == "evaluate":

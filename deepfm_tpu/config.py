@@ -109,6 +109,10 @@ class MeshConfig:
     #   "psum"       — masked local gather + psum over the model axis
     #   "all_to_all" — bucketed ID exchange (EP-style routed lookup)
     embedding_strategy: str = "psum"
+    # Multi-host slice: call jax.distributed.initialize() on every host
+    # before any other JAX use (auto-discovers the coordinator on TPU
+    # pods). The mesh then spans all chips of all hosts.
+    multihost: bool = False
 
 
 @dataclass(frozen=True)

@@ -25,9 +25,15 @@ AXIS_MODEL = "model"
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize the multi-host JAX runtime (no-op if single process)."""
-    if jax.process_count() > 1 or kwargs:
-        jax.distributed.initialize(**kwargs)
+    """Initialize the multi-host JAX runtime.
+
+    Must run on every host of the slice BEFORE any other JAX call. On
+    TPU pods ``jax.distributed.initialize()`` auto-discovers the
+    coordinator from the TPU metadata; elsewhere pass
+    ``coordinator_address/num_processes/process_id`` explicitly. Enabled
+    from the CLI via ``mesh.multihost: true``.
+    """
+    jax.distributed.initialize(**kwargs)
 
 
 def build_mesh(

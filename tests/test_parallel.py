@@ -225,3 +225,51 @@ def test_psum_lookup_grad_kernel_parity():
     np.testing.assert_allclose(
         np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6
     )
+
+
+def test_checkpoint_restores_across_mesh_shapes(tmp_path):
+    """A best-checkpoint saved from a sharded (4x2) trainer must restore
+    into an unsharded trainer (and keep values), per SURVEY §5.4."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.parallel import make_lookup_fn
+    from deepfm_tpu.training.trainer import Trainer
+
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 64, seed=11)
+    feats["user_id"] = feats["user"]
+    arr = pack_features(packed, feats, labels)
+    cfg = config_from_dict(
+        {
+            "output_dir": str(tmp_path),
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {
+                "batch_size": 32, "num_epochs": 1, "scheduler": "none",
+            },
+        }
+    )
+
+    mesh = build_mesh(4, 2)
+    m_sh = create_model("deepfm", packed, cfg, lookup_fn=make_lookup_fn(mesh, "psum"))
+    tr_sh = Trainer(m_sh, packed, cfg, arr, arr, arr, mesh=mesh)
+    tr_sh.train()  # saves best_model under the sharded state
+    saved = jax.device_get(tr_sh.state.params)
+
+    m1 = create_model("deepfm", packed, cfg)
+    tr1 = Trainer(m1, packed, cfg, arr, arr, arr)  # no mesh
+    tr1.load_best()
+    restored = jax.device_get(tr1.state.params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(saved), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # restored trainer must be able to evaluate
+    m = tr1.evaluate(arr)
+    assert 0.0 <= m["auc"] <= 1.0
