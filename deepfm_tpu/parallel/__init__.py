@@ -3,6 +3,7 @@ from deepfm_tpu.parallel.embedding_shard import (
     make_lookup_fn,
     make_psum_lookup,
 )
+from deepfm_tpu.parallel.ring_attention import ring_field_attention
 from deepfm_tpu.parallel.mesh import (
     AXIS_DATA,
     AXIS_MODEL,
@@ -25,5 +26,6 @@ __all__ = [
     "make_lookup_fn",
     "make_psum_lookup",
     "replicated",
+    "ring_field_attention",
     "state_shardings",
 ]
