@@ -13,8 +13,10 @@ structure, no fusion. Here the schema is compiled ONCE into a static
   * the batch is two arrays — ``ids (B, num_slots) int32`` and
     ``dense (B, num_dense) float32`` — with a fixed slot->field mapping
     (a SEQUENCE field owns ``max_length`` consecutive slots);
-  * first-order scalar weights of ALL lookup fields live in one
-    ``(fo_rows, 1)`` table addressed by per-slot ``fo_offsets``.
+  * each field's first-order scalar weight rides as the LAST COLUMN of
+    its width group's fused table (see ops/embedding.py), so one gather
+    serves both views. ``fo_rows``/``fo_offsets`` describe the flat
+    group-ordered vocab index space (used by tests and diagnostics).
 
 Everything downstream (models, optimizer, sharding) keys off this object,
 so the hot path never touches Python dicts or per-field loops.
@@ -22,7 +24,7 @@ so the hot path never touches Python dicts or per-field loops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
