@@ -90,6 +90,9 @@ class TrainingConfig:
     compute_dtype: str = "float32"
     # Resume training from the latest checkpoint in output_dir if present.
     resume: bool = False
+    # Device-memory cap for epoch staging: epochs bigger than this are
+    # staged (and scanned) in equal-size chunks of whole batches.
+    stage_budget_mb: int = 1024
 
 
 @dataclass(frozen=True)

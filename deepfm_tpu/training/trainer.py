@@ -435,10 +435,19 @@ class Trainer:
     # loop synchronizes a single scalar per epoch.
     # ------------------------------------------------------------------
 
-    def _stage_epoch(
+    def _stage_chunks(
         self, data: PackedArrays, batch_size: int, *, shuffle: bool,
         drop_remainder: bool,
-    ):
+    ) -> list[tuple[int, tuple]]:
+        """Stage the (shuffled, padded) epoch to the device in bounded
+        chunks of whole batches.
+
+        One chunk == one scan dispatch. Small datasets stage as a single
+        chunk; at production row counts the chunk size is capped by
+        ``training.stage_budget_mb`` of device memory, with all full
+        chunks equal-sized so the scan compiles at most twice (full +
+        remainder shape).
+        """
         n = len(data)
         order = np.arange(n)
         if shuffle:
@@ -453,25 +462,38 @@ class Trainer:
             order = np.concatenate([order, np.zeros(pad, np.int64)])
             weights = np.concatenate([weights, np.zeros(pad, np.float32)])
 
-        ids = data.ids[order].reshape(nb, batch_size, -1)
-        dense = data.dense[order].reshape(nb, batch_size, -1)
-        labels = data.labels[order].reshape(nb, batch_size)
-        weights = weights.reshape(nb, batch_size)
+        bytes_per_batch = batch_size * (
+            4 * data.ids.shape[1] + 4 * data.dense.shape[1] + 8
+        )
+        budget = self.config.training.stage_budget_mb * (1 << 20)
+        chunk_nb = max(1, min(nb, budget // max(bytes_per_batch, 1)))
 
+        chunks = []
+        for start in range(0, nb, chunk_nb):
+            cb = min(chunk_nb, nb - start)
+            sl = order[start * batch_size : (start + cb) * batch_size]
+            wl = weights[start * batch_size : (start + cb) * batch_size]
+            arrays = (
+                data.ids[sl].reshape(cb, batch_size, -1),
+                data.dense[sl].reshape(cb, batch_size, -1),
+                data.labels[sl].reshape(cb, batch_size),
+                wl.reshape(cb, batch_size),
+            )
+            chunks.append((cb, self._put_staged(arrays)))
+        return chunks
+
+    def _put_staged(self, arrays):
         if self.mesh is None:
-            put = jnp.asarray
-            staged = tuple(put(a) for a in (ids, dense, labels, weights))
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            return tuple(jnp.asarray(a) for a in arrays)
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from deepfm_tpu.parallel.mesh import AXIS_DATA
+        from deepfm_tpu.parallel.mesh import AXIS_DATA
 
-            def sh(a):
-                spec = P(None, AXIS_DATA, *([None] * (a.ndim - 2)))
-                return jax.device_put(a, NamedSharding(self.mesh, spec))
+        def sh(a):
+            spec = P(None, AXIS_DATA, *([None] * (a.ndim - 2)))
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
 
-            staged = tuple(sh(a) for a in (ids, dense, labels, weights))
-        return nb, staged
+        return tuple(sh(a) for a in arrays)
 
     @staticmethod
     @jax.jit
@@ -612,11 +634,16 @@ class Trainer:
         tc = self.config.training
         n = len(self.train_data)
         drop = n >= tc.batch_size  # keep BN stats clean of padded rows
-        nb, staged = self._stage_epoch(
+        chunks = self._stage_chunks(
             self.train_data, tc.batch_size, shuffle=True, drop_remainder=drop
         )
-        # whole epoch = ONE dispatch (lax.scan over the staged batches)
-        self.state, loss_sum = self._epoch_scan(self.state, staged)
+        # whole epoch = one scan dispatch per staged chunk (usually one)
+        nb = 0
+        loss_sum = jnp.zeros((), jnp.float32)
+        for cb, staged in chunks:
+            self.state, chunk_loss = self._epoch_scan(self.state, staged)
+            loss_sum = loss_sum + chunk_loss
+            nb += cb
         total_loss = float(loss_sum)  # single sync per epoch
         n_examples = min(n, nb * tc.batch_size) if not drop else nb * tc.batch_size
         return total_loss / max(nb, 1), n_examples
@@ -635,17 +662,19 @@ class Trainer:
             cache = self._eval_stage_cache = {}
         key = id(data)
         if key not in cache:
-            cache[key] = self._stage_epoch(
+            cache[key] = self._stage_chunks(
                 data, tc.batch_size, shuffle=False, drop_remainder=False
             )
             if len(cache) > 4:  # bound device memory
                 cache.pop(next(iter(cache)))
-        nb, staged = cache[key]
-        # whole split = ONE dispatch + ONE host fetch
-        probs = self._eval_scan(
-            self.state.params, self.state.batch_stats, staged[0], staged[1]
-        )
-        scores = np.asarray(probs)[:n]
+        # one dispatch per staged chunk (usually one) + ONE host fetch
+        parts = [
+            self._eval_scan(
+                self.state.params, self.state.batch_stats, staged[0], staged[1]
+            )
+            for _, staged in cache[key]
+        ]
+        scores = np.asarray(jnp.concatenate(parts) if len(parts) > 1 else parts[0])[:n]
         labels = data.labels
 
         metrics: dict[str, float] = {}

@@ -195,7 +195,7 @@ def test_epoch_scan_matches_per_step_loop(tmp_path):
         model = create_model("deepfm", packed, cfg)
         tr = Trainer(model, packed, cfg, arr, arr, arr)
         tr.np_rng = np.random.default_rng(0)  # fix the shuffle stream
-        nb, staged = tr._stage_epoch(
+        [(nb, staged)] = tr._stage_chunks(
             arr, 32, shuffle=True, drop_remainder=True
         )
         return step_fn(tr, nb, staged)
@@ -279,5 +279,39 @@ def test_l2_as_weight_decay_matches_loss_term(tmp_path):
     want = optax.apply_updates(before, upd)
     for a, b in zip(
         jax.tree_util.tree_leaves(after_decay), jax.tree_util.tree_leaves(want)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_chunked_staging_matches_single_chunk(tmp_path):
+    """A tiny stage budget (multiple chunks per epoch) must train exactly
+    like the single-chunk path: same shuffle stream, same updates."""
+    packed, arr = _make_data(n=128, seed=7)
+
+    def run(budget_mb):
+        from deepfm_tpu.config import config_from_dict
+
+        cfg = config_from_dict(
+            {
+                "output_dir": str(tmp_path / f"b{budget_mb}"),
+                "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                "training": {
+                    "batch_size": 32, "num_epochs": 2, "scheduler": "none",
+                    "stage_budget_mb": budget_mb,
+                },
+            }
+        )
+        model = create_model("deepfm", packed, cfg)
+        tr = Trainer(model, packed, cfg, arr, arr, arr)
+        loss, nb = tr._train_epoch()
+        return loss, nb, jax.device_get(tr.state.params)
+
+    # budget 0 -> 1 batch per chunk (4 chunks); huge budget -> 1 chunk
+    loss_a, n_a, p_a = run(0)
+    loss_b, n_b, p_b = run(4096)
+    assert n_a == n_b
+    assert loss_a == pytest.approx(loss_b, rel=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_b)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
