@@ -1,4 +1,4 @@
-.PHONY: train evaluate compare test test-all lint format bench synth-data
+.PHONY: train evaluate compare test test-all test-tpu lint format bench synth-data
 
 CONFIG ?= configs/deepfm_movielens.yaml
 ARGS ?=
@@ -20,6 +20,9 @@ test:
 
 test-all:
 	python -m pytest tests/ -q -m ""
+
+test-tpu:
+	python -m pytest tests_tpu/ -q -m tpu
 
 bench:
 	python bench.py

@@ -1,0 +1,7 @@
+"""TPU exactness suite: no platform forcing (unlike tests/conftest.py)."""
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_deepfm")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
