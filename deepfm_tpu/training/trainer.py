@@ -563,12 +563,36 @@ class Trainer:
         if trace_dir:
             jax.profiler.start_trace(trace_dir)
 
+        # Per-epoch negative resampling runs on the HOST (numpy / native
+        # sampler). Prefetch the next epoch's resample on a worker thread
+        # so it overlaps the current epoch's device compute instead of
+        # stalling the TPU between epochs. One resample per epoch in
+        # order, so the adapter's rng stream is identical to the
+        # synchronous sequence.
+        resample_pool = None
+        resample_future = None
+        if self.adapter is not None and tc.num_epochs - epoch > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            resample_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="resample"
+            )
+
         try:
             for epoch in range(epoch + 1, tc.num_epochs + 1):
                 self.epoch = epoch
                 if self.adapter is not None and epoch > 1:
-                    ds = self.adapter.resample_train()
+                    ds = (
+                        resample_future.result()
+                        if resample_future is not None
+                        else self.adapter.resample_train()
+                    )
+                    resample_future = None
                     self.train_data = ds.pack(self.packed_schema)
+                if resample_pool is not None and epoch < tc.num_epochs:
+                    resample_future = resample_pool.submit(
+                        self.adapter.resample_train
+                    )
 
                 t0 = time.perf_counter()
                 train_loss, n_examples = self._train_epoch()
@@ -619,6 +643,8 @@ class Trainer:
                     epoch, best_metric, best_epoch, best_metrics, patience_counter
                 )
         finally:
+            if resample_pool is not None:
+                resample_pool.shutdown(wait=False, cancel_futures=True)
             if trace_dir:
                 jax.profiler.stop_trace()
 
