@@ -138,6 +138,13 @@ class PallasConfig:
     # faster at 10.4M x 17, exact to f32 working precision). TPU only;
     # tables >= 2^24 rows fall back to the XLA scatter automatically.
     use_grad_kernel: bool = True
+    # Pack 128 // (d+1) logical table rows per 128-lane physical row
+    # (ops/pallas/packed_grad_kernel.py): TPU gathers are latency-bound
+    # per row, so the wide physical gather is ~2-3x faster and the table
+    # gets a compact row-major layout. TPU only; single-device lookup
+    # path only (sharded strategies keep the logical layout); not
+    # compatible with optimizer=lazy_adam (logical row addressing).
+    use_packed_tables: bool = True
 
 
 @dataclass(frozen=True)

@@ -34,18 +34,30 @@ def create_model(
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unknown model: {name}. Choose from {list(MODEL_REGISTRY)}")
     packed = schema if isinstance(schema, PackedSchema) else pack_schema(schema)
+    packed_tables = False
     if lookup_fn is None and config.pallas.use_embedding_kernel:
         from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
 
         lookup_fn = pallas_lookup
-    if lookup_fn is None and config.pallas.use_grad_kernel:
+    if lookup_fn is None:
         import jax
 
-        if jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if (
+            on_tpu
+            and config.pallas.use_packed_tables
+            and config.training.optimizer != "lazy_adam"
+        ):
+            # packed physical layout: wide gathers + packed densify bwd
+            packed_tables = True
+        elif on_tpu and config.pallas.use_grad_kernel:
             from deepfm_tpu.ops.pallas.grad_kernel import sparse_grad_lookup
 
             lookup_fn = sparse_grad_lookup
-    return MODEL_REGISTRY[name](packed=packed, config=config, lookup_fn=lookup_fn)
+    return MODEL_REGISTRY[name](
+        packed=packed, config=config, lookup_fn=lookup_fn,
+        packed_tables=packed_tables,
+    )
 
 
 __all__ = [

@@ -35,6 +35,7 @@ class CTRModel(nn.Module):
     packed: PackedSchema
     config: ExperimentConfig
     lookup_fn: Callable | None = None
+    packed_tables: bool = False
 
     def setup(self) -> None:
         self.embedding = FeatureEmbedding(
@@ -42,6 +43,7 @@ class CTRModel(nn.Module):
             fm_embed_dim=self.config.feature.fm_embed_dim,
             lookup_fn=self.lookup_fn,
             compute_dtype=compute_dtype_of(self.config),
+            packed_tables=self.packed_tables,
             name="embedding",
         )
         self._build_components()

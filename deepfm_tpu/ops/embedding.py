@@ -123,6 +123,57 @@ def xavier_uniform_shape(fan_in: int, fan_out: int):
     return init
 
 
+def make_packed_table_init(
+    emb_width: int, vocab_sizes: list[int], phys_rows: int, pack: int
+):
+    """Packed-layout variant of make_table_init: ``pack`` logical rows per
+    128-lane physical row (lane l of phys row r = logical row
+    ``r*pack + l // (d+1)``, column ``l % (d+1)``); dead lanes and every
+    field's logical row 0 stay exactly zero. Same per-field xavier bounds
+    as the unpacked init, so the parameter DISTRIBUTION is identical —
+    only the storage layout differs.
+    """
+    dcol = emb_width + 1
+    nf = len(vocab_sizes)
+    emb_bounds = np.asarray(
+        [0.0]
+        + [math.sqrt(6.0 / (emb_width + max(v - 1, 1))) for v in vocab_sizes],
+        np.float32,
+    )
+    fo_bounds = np.asarray(
+        [0.0] + [math.sqrt(6.0 / (1 + max(v - 1, 1))) for v in vocab_sizes],
+        np.float32,
+    )
+    starts = np.zeros(nf + 1, np.int64)
+    np.cumsum(vocab_sizes, out=starts[1:])
+    total = int(starts[-1])
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == (phys_rows, 128), (shape, phys_rows)
+        u = jax.random.uniform(key, shape, dtype, minval=-1.0, maxval=1.0)
+        lane = jnp.arange(128)
+        live = lane < pack * dcol
+        sub = jnp.minimum(lane // dcol, pack - 1)
+        col = lane - sub * dcol
+        row = jnp.arange(phys_rows)[:, None] * pack + sub[None, :]
+        fld = jnp.searchsorted(jnp.asarray(starts), row, side="right")
+        fld = jnp.where(row < total, fld, 0)
+        fld = jnp.where(
+            row == jnp.asarray(starts)[jnp.maximum(fld - 1, 0)], 0, fld
+        )
+        # two flat bound lookups — never materialize a (phys, 128, 2)
+        # intermediate (its unit trailing dim would lane-pad 64x on TPU)
+        scale = jnp.where(
+            col[None, :] == emb_width,
+            jnp.asarray(fo_bounds, dtype)[fld],
+            jnp.asarray(emb_bounds, dtype)[fld],
+        )
+        scale = jnp.where(live[None, :], scale, 0.0)
+        return u * scale
+
+    return init
+
+
 class FeatureEmbedding(nn.Module):
     """Shared embedding engine emitting the three standard views."""
 
@@ -130,6 +181,14 @@ class FeatureEmbedding(nn.Module):
     fm_embed_dim: int = 16
     lookup_fn: LookupFn | None = None
     compute_dtype: jnp.dtype = jnp.float32
+    # Store each width group's table PACKED: 128 // (d+1) logical rows per
+    # 128-lane physical row. TPU gathers are latency-bound per row, so the
+    # wide physical gather is ~2-3x faster, and the (phys, 128) layout is
+    # naturally aligned (row-major (V, 17) would lane-pad 7.5x). Backward
+    # uses the packed Pallas densify kernel. Set by create_model on TPU;
+    # mutually exclusive with a custom lookup_fn (sharded strategies keep
+    # the unpacked logical layout).
+    packed_tables: bool = False
 
     def _lookup(self, table: jax.Array, ids2d: jax.Array) -> jax.Array:
         """Gather rows for a (B, S_g) id block -> (B, S_g, d)."""
@@ -162,22 +221,37 @@ class FeatureEmbedding(nn.Module):
         for gi, group in enumerate(packed.lookup_groups):
             d = group.width
             members = [packed.schema.fields[n] for n in group.field_names]
-            rows_padded = pad_rows(group.total_rows)
-            table = self.param(
-                f"table_w{d}",
-                make_table_init(
-                    d,
-                    [f.vocabulary_size for f in members],
-                    rows_padded,
-                ),
-                (rows_padded, d + 1),
-            )
+            vocabs = [f.vocabulary_size for f in members]
+            pack = 128 // (d + 1) if self.packed_tables else 1
 
             ids_g = ids[:, group.slot_start : group.slot_end]  # (B, S_g)
             mask = (ids_g != 0).astype(cdt)  # (B, S_g)
             local = ids_g + jnp.asarray(group.local_offsets)[None, :]
 
-            raw = self._lookup(table, local).astype(cdt)  # (B, S_g, d+1)
+            if pack > 1 and self.lookup_fn is None:
+                from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+                    make_packed_lookup,
+                )
+
+                phys_rows = pad_rows(-(-group.total_rows // pack))
+                table = self.param(
+                    f"table_w{d}",
+                    make_packed_table_init(d, vocabs, phys_rows, pack),
+                    (phys_rows, 128),
+                )
+                b, s = local.shape
+                rows = make_packed_lookup(d + 1, pack)(
+                    table, local.reshape(-1)
+                )
+                raw = rows.reshape(b, s, d + 1).astype(cdt)
+            else:
+                rows_padded = pad_rows(group.total_rows)
+                table = self.param(
+                    f"table_w{d}",
+                    make_table_init(d, vocabs, rows_padded),
+                    (rows_padded, d + 1),
+                )
+                raw = self._lookup(table, local).astype(cdt)  # (B, S_g, d+1)
             raw = raw * mask[:, :, None]
             emb = raw[:, :, :d]
             fo_vals = raw[:, :, d]  # (B, S_g)

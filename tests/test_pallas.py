@@ -246,3 +246,154 @@ class TestGradDensifyKernel:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
             )
+
+
+class TestPackedGradKernel:
+    """Packed-table densify: logical scatter-add laid out pack-per-row."""
+
+    def _oracle(self, ct, ids, num_rows, pack):
+        d = ct.shape[1]
+        num_phys = -(-num_rows // pack)
+        logical = jnp.zeros((num_phys * pack, d), jnp.float32).at[ids].add(ct)
+        packed = logical.reshape(num_phys, pack * d)
+        if pack * d < 128:
+            packed = jnp.pad(packed, ((0, 0), (0, 128 - pack * d)))
+        return packed
+
+    @pytest.mark.parametrize("d,pack", [(17, 7), (9, 14), (5, 25)])
+    def test_matches_logical_scatter(self, d, pack):
+        from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+            densify_rows_grad_packed,
+        )
+
+        rng = np.random.default_rng(5)
+        num_rows, n = 6000, 900
+        ids = rng.integers(0, num_rows, n).astype(np.int32)
+        ids[:40] = 0
+        ids[40:80] = 777  # duplicates across one phys row boundary
+        ct = rng.normal(size=(n, d)).astype(np.float32)
+        got = densify_rows_grad_packed(
+            jnp.asarray(ct), jnp.asarray(ids), num_rows, pack
+        )
+        want = self._oracle(jnp.asarray(ct), jnp.asarray(ids), num_rows, pack)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+        # dead lanes exactly zero
+        assert np.abs(np.asarray(got)[:, pack * d :]).max() == 0.0
+
+    def test_lookup_fwd_and_grad(self):
+        from deepfm_tpu.ops.pallas.packed_grad_kernel import make_packed_lookup
+
+        rng = np.random.default_rng(6)
+        d, pack = 17, 7
+        v = 4096 * pack
+        phys = v // pack
+        n = 600
+        table = jnp.asarray(
+            rng.normal(size=(phys, 128)).astype(np.float32)
+        )
+        # dead lanes zero, as the embedding init guarantees
+        table = table.at[:, pack * d :].set(0.0)
+        ids = jnp.asarray(rng.integers(0, v, n), jnp.int32)
+        up = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        lookup = make_packed_lookup(d, pack)
+
+        # forward equals the logical-view gather
+        logical = table[:, : pack * d].reshape(v, d)
+        np.testing.assert_allclose(
+            np.asarray(lookup(table, ids)),
+            np.asarray(jnp.take(logical, ids, axis=0)),
+            rtol=1e-6,
+        )
+
+        # gradient equals the packed logical scatter
+        g = jax.grad(lambda t: jnp.sum(lookup(t, ids) * up))(table)
+        want_logical = jnp.zeros((v, d), jnp.float32).at[ids].add(up)
+        want = jnp.pad(
+            want_logical.reshape(phys, pack * d),
+            ((0, 0), (0, 128 - pack * d)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+class TestPackedEmbeddingParity:
+    """Full-model parity: packed-table layout vs logical layout with
+    transplanted parameters (forward AND gradients)."""
+
+    def test_deepfm_forward_and_grads_match(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from conftest import make_synth_batch, make_synth_schema
+
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.models import MODEL_REGISTRY
+        from deepfm_tpu.ops.embedding import pad_rows
+
+        schema = make_synth_schema()
+        packed = pack_schema(schema)
+        feats, labels = make_synth_batch(schema, 16, seed=12)
+        arr = pack_features(packed, feats, labels)
+        cfg = config_from_dict(
+            {"dnn": {"hidden_units": [8], "dropout": 0.0,
+                     "use_batch_norm": False}}
+        )
+        ids, dense = jnp.asarray(arr.ids), jnp.asarray(arr.dense)
+
+        m0 = MODEL_REGISTRY["deepfm"](packed=packed, config=cfg)
+        mp = MODEL_REGISTRY["deepfm"](
+            packed=packed, config=cfg, packed_tables=True
+        )
+        v0 = m0.init(jax.random.PRNGKey(0), ids, dense)
+
+        # transplant: pack each logical table into the packed layout
+        vp = mp.init(jax.random.PRNGKey(0), ids, dense)
+        p0 = jax.device_get(v0["params"])
+        pp = jax.device_get(vp["params"])
+        for g in packed.lookup_groups:
+            d = g.width
+            pack = 128 // (d + 1)
+            logical = np.asarray(p0["embedding"][f"table_w{d}"])
+            phys_rows = pad_rows(-(-g.total_rows // pack))
+            cap = phys_rows * pack
+            logical_full = np.zeros((cap, d + 1), np.float32)
+            logical_full[: logical.shape[0]] = logical[:cap]
+            packed_tab = np.zeros((phys_rows, 128), np.float32)
+            packed_tab[:, : pack * (d + 1)] = logical_full.reshape(
+                phys_rows, pack * (d + 1)
+            )
+            pp["embedding"][f"table_w{d}"] = packed_tab
+        for k, v in p0["embedding"].items():
+            if not k.startswith("table_w"):
+                pp["embedding"][k] = v
+        for k in p0:
+            if k != "embedding":
+                pp[k] = p0[k]
+
+        out0 = m0.apply({"params": p0}, ids, dense)
+        outp = mp.apply({"params": pp}, ids, dense)
+        np.testing.assert_allclose(
+            np.asarray(outp), np.asarray(out0), rtol=1e-5, atol=1e-6
+        )
+
+        # gradient parity: map the packed table grad back to logical rows
+        def loss(m):
+            return lambda p: jnp.sum(m.apply({"params": p}, ids, dense) ** 2)
+
+        g0 = jax.grad(loss(m0))(p0)
+        gp = jax.grad(loss(mp))(pp)
+        for g in packed.lookup_groups:
+            d = g.width
+            pack = 128 // (d + 1)
+            glog = np.asarray(g0["embedding"][f"table_w{d}"])
+            gpk = np.asarray(gp["embedding"][f"table_w{d}"])
+            # dead lanes zero
+            assert np.abs(gpk[:, pack * (d + 1) :]).max() == 0.0
+            back = gpk[:, : pack * (d + 1)].reshape(-1, d + 1)
+            np.testing.assert_allclose(
+                back[: glog.shape[0]], glog, rtol=1e-4, atol=1e-5
+            )
