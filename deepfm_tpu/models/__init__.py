@@ -47,6 +47,11 @@ def create_model(
             on_tpu
             and config.pallas.use_packed_tables
             and config.training.optimizer != "lazy_adam"
+            # packed layout is a single-shard detail: with a model axis
+            # the tables row-shard (shard_map strategies pass a
+            # lookup_fn; GSPMD "auto" can't partition the packed custom
+            # call), so stay logical there
+            and config.mesh.model_axis == 1
         ):
             # packed physical layout: wide gathers + packed densify bwd
             packed_tables = True
