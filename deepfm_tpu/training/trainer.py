@@ -58,6 +58,18 @@ def _is_table_name(name: str) -> bool:
     return name.startswith(("table_w", "fo_table"))
 
 
+def _use_fused_table_adam(config: ExperimentConfig) -> bool:
+    """Fused Pallas Adam for the tables: one pass, buffers aliased in
+    place (ops/pallas/adam_kernel.py). Exactly equivalent to the optax
+    chain (parity-tested); TPU only — the interpret-mode kernel would
+    crawl on CPU."""
+    return (
+        config.training.optimizer == "adam"
+        and config.training.fused_table_adam
+        and jax.default_backend() == "tpu"
+    )
+
+
 def build_optimizer(
     config: ExperimentConfig, params: Any | None = None
 ) -> optax.GradientTransformation:
@@ -83,6 +95,7 @@ def build_optimizer(
     """
     tc = config.training
     lazy = tc.optimizer == "lazy_adam"
+    fused = _use_fused_table_adam(config)
     l2_reg = config.feature.embedding_l2_reg
 
     def emb_mask(params):
@@ -101,7 +114,7 @@ def build_optimizer(
             opt = optax.sgd(learning_rate, momentum=0.9)
         else:
             raise ValueError(f"Unknown optimizer: {tc.optimizer}")
-        if lazy:
+        if lazy or fused:
             mask = jax.tree_util.tree_map_with_path(
                 lambda path, _: not any(
                     _is_table_name(str(getattr(k, "key", ""))) for k in path
@@ -205,6 +218,7 @@ class Trainer:
         self.np_rng = np.random.default_rng(seed)
 
         self.lazy_tables = config.training.optimizer == "lazy_adam"
+        self.fused_tables = _use_fused_table_adam(config)
         self.scheduler = PlateauScheduler(
             lr=config.training.lr,
             enabled=config.training.scheduler == "reduce_on_plateau",
@@ -246,7 +260,7 @@ class Trainer:
         def init_fn(params):
             opt_state = self.tx.init(params)
             table_opt = None
-            if self.lazy_tables:
+            if self.lazy_tables or self.fused_tables:
                 from deepfm_tpu.training.sparse_opt import init_table_state
 
                 table_opt = {
@@ -281,6 +295,7 @@ class Trainer:
         l2_reg = self.config.feature.embedding_l2_reg
         clip = self.config.training.gradient_clip_norm
         lazy = self.lazy_tables
+        fused = self.fused_tables
         dropout_root = jax.random.fold_in(self.root_key, 0xD0)
         has_bn = bool(self.state.batch_stats)
 
@@ -320,7 +335,7 @@ class Trainer:
                 loss_fn, has_aux=True
             )(state.params)
 
-            if not lazy:
+            if not lazy and not fused:
                 updates, new_opt = tx.update(
                     grads, state.opt_state, state.params
                 )
@@ -331,6 +346,87 @@ class Trainer:
                         batch_stats=new_bs,
                         opt_state=new_opt,
                         step=state.step + 1,
+                    ),
+                    loss,
+                )
+
+            if fused:
+                # ---- fused table Adam: exact chain semantics
+                # [add_decayed_weights(2*l2, emb), clip, adam] with the
+                # table update in ONE Pallas pass (buffers aliased) ----
+                from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
+
+                wd = 2.0 * l2_reg
+                emb_grads = grads["embedding"]
+                emb_params = state.params["embedding"]
+
+                # decayed gradient tree (decay spans the embedding
+                # subtree, matching the optax mask); tables never
+                # materialize decayed copies — their sumsq reduces inline
+                def decayed(path, g):
+                    keys = [str(getattr(k, "key", "")) for k in path]
+                    if keys and keys[0] == "embedding":
+                        return g + wd * emb_params[keys[-1]]
+                    return g
+
+                # optax.global_norm: left-fold of per-leaf sumsq in
+                # tree_leaves order, then sqrt — replicated exactly so the
+                # clip decision/scale is bit-identical to the plain
+                # chain. Table leaves reduce INLINE (the decayed copy is
+                # never materialized; the kernel re-applies decay itself).
+                sq_tree = jax.tree_util.tree_map_with_path(
+                    lambda path, g: jnp.sum(jnp.square(decayed(path, g))),
+                    grads,
+                )
+                gnorm = jnp.sqrt(
+                    sum(jax.tree_util.tree_leaves(sq_tree))
+                )
+                if clip > 0:
+                    trigger = gnorm < clip
+
+                    def clipped(g):
+                        return jnp.where(trigger, g, g / gnorm * clip)
+                else:
+                    def clipped(g):
+                        return g
+
+                nt_grads = jax.tree_util.tree_map_with_path(
+                    lambda path, g: (
+                        jnp.zeros_like(g)
+                        if _is_table_name(
+                            str(getattr(path[-1], "key", ""))
+                        )
+                        else clipped(decayed(path, g))
+                    ),
+                    grads,
+                )
+                updates, new_opt = tx.update(
+                    nt_grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
+
+                lr = state.opt_state.hyperparams["learning_rate"]
+                new_emb = dict(new_params["embedding"])
+                new_table_opt = dict(state.table_opt)
+                for name, g in emb_grads.items():
+                    if not _is_table_name(name):
+                        continue
+                    topt = state.table_opt[name]
+                    p2, mu2, nu2 = fused_table_adam(
+                        emb_params[name], topt.mu, topt.nu, g,
+                        lr, wd, gnorm, clip, state.step,
+                    )
+                    new_emb[name] = p2
+                    new_table_opt[name] = type(topt)(mu=mu2, nu=nu2)
+                new_params = dict(new_params)
+                new_params["embedding"] = new_emb
+                return (
+                    state.replace(
+                        params=new_params,
+                        batch_stats=new_bs,
+                        opt_state=new_opt,
+                        step=state.step + 1,
+                        table_opt=new_table_opt,
                     ),
                     loss,
                 )

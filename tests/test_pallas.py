@@ -397,3 +397,101 @@ class TestPackedEmbeddingParity:
             np.testing.assert_allclose(
                 back[: glog.shape[0]], glog, rtol=1e-4, atol=1e-5
             )
+
+
+class TestFusedTableAdam:
+    def test_kernel_matches_optax_chain(self):
+        import optax
+
+        from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
+
+        rng = np.random.default_rng(8)
+        r, c = 512, 128
+        p = jnp.asarray(rng.normal(size=(r, c)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(r, c)).astype(np.float32) * 1e-2)
+        lr, wd, clip = 1e-3, 2e-5, 1.0
+
+        tx = optax.chain(
+            optax.add_decayed_weights(wd),
+            optax.clip_by_global_norm(clip),
+            optax.adam(lr),
+        )
+        st = tx.init(p)
+        p_ref, mu_ref, nu_ref = p, jnp.zeros_like(p), jnp.zeros_like(p)
+        p_k, mu_k, nu_k = p, jnp.zeros_like(p), jnp.zeros_like(p)
+        for step in range(3):
+            upd, st = tx.update(g, st, p_ref)
+            p_ref = optax.apply_updates(p_ref, upd)
+            # kernel path: same decayed-gradient global norm, same lr/wd
+            dec = g + wd * p_k
+            gnorm = jnp.sqrt(jnp.sum(dec * dec))
+            p_k, mu_k, nu_k = fused_table_adam(
+                p_k, mu_k, nu_k, g,
+                jnp.asarray(lr), jnp.asarray(wd), gnorm,
+                jnp.asarray(clip), jnp.asarray(step, jnp.int32),
+            )
+            np.testing.assert_allclose(
+                np.asarray(p_k), np.asarray(p_ref), rtol=2e-5, atol=1e-7,
+                err_msg=f"step {step}",
+            )
+
+    def test_trainer_fused_matches_dense_adam(self, tmp_path, monkeypatch):
+        """A fused-table-adam train step must equal the plain optax step
+        (forced on under the CPU backend via monkeypatch)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from conftest import make_synth_batch, make_synth_schema
+
+        import deepfm_tpu.training.trainer as trainer_mod
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.models import create_model
+        from deepfm_tpu.training.trainer import Trainer
+
+        schema = make_synth_schema()
+        packed = pack_schema(schema)
+        feats, labels = make_synth_batch(schema, 32, seed=13)
+        arr = pack_features(packed, feats, labels)
+
+        def make_cfg():
+            return config_from_dict(
+                {
+                    "output_dir": str(tmp_path),
+                    "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                    "training": {
+                        "batch_size": 32, "num_epochs": 1,
+                        "scheduler": "none",
+                    },
+                }
+            )
+
+        def one_step(force_fused):
+            if force_fused:
+                monkeypatch.setattr(
+                    trainer_mod, "_use_fused_table_adam", lambda cfg: True
+                )
+            else:
+                monkeypatch.setattr(
+                    trainer_mod, "_use_fused_table_adam", lambda cfg: False
+                )
+            cfg = make_cfg()
+            model = create_model("deepfm", packed, cfg)
+            tr = Trainer(model, packed, cfg, arr, arr, arr)
+            ids = jnp.asarray(arr.ids)
+            dense = jnp.asarray(arr.dense)
+            lab = jnp.asarray(arr.labels)
+            w = jnp.ones((32,), jnp.float32)
+            state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+            state, loss = tr._train_step(state, ids, dense, lab, w)
+            return float(loss), jax.device_get(state.params)
+
+        loss_f, p_f = one_step(True)
+        loss_d, p_d = one_step(False)
+        assert loss_f == pytest.approx(loss_d, rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
