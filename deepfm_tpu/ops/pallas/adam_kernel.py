@@ -7,12 +7,15 @@ moment updates, bias correction, parameter step — in ONE pass over
 tile-pipelined blocks with the param/mu/nu buffers aliased in place:
 4 reads + 3 writes of table-sized data, nothing else.
 
-Semantics are exactly optax.chain(add_decayed_weights(wd), clip(scale),
-adam(lr)) restricted to one tensor, with the clip scale supplied by the
-caller (the global norm spans every parameter, so it cannot be computed
-per-tensor). Bias correction uses the same ``1/(1 - b^t)`` terms as
-optax.scale_by_adam; parity is tested against the optax chain to f32
-roundoff.
+Semantics are exactly optax.chain(add_decayed_weights(wd),
+clip_by_global_norm(clip), adam(lr)) restricted to one tensor, with the
+GLOBAL norm supplied by the caller (it spans every parameter, so it
+cannot be computed per-tensor). The kernel replicates optax's literal
+f32 operation sequence — clip's divide-then-multiply, update_moment
+ordering, bias-correction divisions — because Adam's normalization
+amplifies last-ulp differences into +/-lr-scale trajectory divergence
+within two steps. Two-step trainer parity vs the optax chain measures
+0 to 4e-9.
 """
 
 from __future__ import annotations
