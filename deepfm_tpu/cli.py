@@ -15,19 +15,52 @@ from deepfm_tpu.config import ExperimentConfig, load_config
 from deepfm_tpu.utils import get_logger, seed_everything
 
 
-def build_runtime(config: ExperimentConfig):
-    """Resolve (mesh, lookup_fn) from the mesh config section."""
+def resolve_device(config: ExperimentConfig) -> None:
+    """Apply the ``device`` config knob BEFORE the JAX backend initializes.
+
+    Mirrors the reference's device resolution (reference: deepfm/cli.py:
+    16-25, "auto" -> MPS else CPU) with TPU-native semantics:
+      "auto" — use the best available backend (JAX's default order);
+      "cpu"  — force host CPU (debug runs; the axon TPU plugin ignores
+               the JAX_PLATFORMS env var, so this must go through
+               jax.config);
+      "tpu"  — require a TPU backend, fail fast if none is attached.
+    """
     import jax
 
-    from deepfm_tpu.parallel import build_mesh, make_lookup_fn
+    device = config.device
+    if device == "auto":
+        return
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    if device == "tpu":
+        backend = jax.default_backend()
+        if backend not in ("tpu", "axon"):
+            raise RuntimeError(
+                f"device=tpu requested but the JAX backend is {backend!r}"
+            )
+        return
+    raise ValueError(f"Unknown device {device!r}: use auto|cpu|tpu")
+
+
+def build_runtime(config: ExperimentConfig):
+    """Resolve the device mesh from the mesh config section (None =
+    single device, no sharding)."""
+    import jax
+
+    from deepfm_tpu.parallel import build_hybrid_mesh, build_mesh
 
     n = len(jax.devices())
     if n == 1 and config.mesh.model_axis in (1, -1):
-        mesh = None
-    else:
-        mesh = build_mesh(config.mesh.data_axis, config.mesh.model_axis)
-    lookup_fn = make_lookup_fn(mesh, config.mesh.embedding_strategy)
-    return mesh, lookup_fn
+        return None
+    if config.mesh.num_slices > 1:
+        return build_hybrid_mesh(
+            config.mesh.num_slices,
+            config.mesh.data_axis,
+            config.mesh.model_axis,
+        )
+    return build_mesh(config.mesh.data_axis, config.mesh.model_axis)
 
 
 def _build_data(config: ExperimentConfig):
@@ -67,15 +100,10 @@ def train_command(config: ExperimentConfig) -> None:
     )
     logger.info(f"Schema: {schema.field_names}")
 
-    mesh, lookup_fn = build_runtime(config)
+    mesh = build_runtime(config)
     if mesh is not None:
         logger.info(f"Mesh: {dict(mesh.shape)}")
-    model = create_model(config.model_name, packed, config, lookup_fn=lookup_fn)
-
-    # Adapter wrapper matching the Trainer resample contract.
-    class _Resampler:
-        def resample_train(self):
-            return adapter.resample_train()
+    model = create_model(config.model_name, packed, config, mesh=mesh)
 
     trainer = Trainer(
         model=model,
@@ -84,7 +112,7 @@ def train_command(config: ExperimentConfig) -> None:
         train_data=train_d,
         val_data=val_d,
         test_data=test_d,
-        adapter=_Resampler(),
+        adapter=adapter,
         mesh=mesh,
     )
     import jax as _jax
@@ -104,8 +132,8 @@ def evaluate_command(config: ExperimentConfig) -> None:
     seed_everything(config.seed)
 
     adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
-    mesh, lookup_fn = build_runtime(config)
-    model = create_model(config.model_name, packed, config, lookup_fn=lookup_fn)
+    mesh = build_runtime(config)
+    model = create_model(config.model_name, packed, config, mesh=mesh)
     trainer = Trainer(
         model=model,
         packed_schema=packed,
@@ -259,11 +287,16 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     config = load_config(args.config, args.override or None)
+    resolve_device(config)  # must precede backend init
     if config.mesh.multihost:
         # must precede every other JAX call on each host of the slice
         from deepfm_tpu.parallel.mesh import initialize_distributed
 
-        initialize_distributed()
+        if not initialize_distributed():
+            get_logger("deepfm_tpu").warning(
+                "mesh.multihost=true but no coordinator is configured; "
+                "running single-process"
+            )
     if args.command == "train":
         train_command(config)
     elif args.command == "evaluate":

@@ -120,6 +120,10 @@ class MeshConfig:
     # before any other JAX use (auto-discovers the coordinator on TPU
     # pods). The mesh then spans all chips of all hosts.
     multihost: bool = False
+    # Multi-slice (DCN) topology: number of TPU slices the mesh spans.
+    # The model axis stays inside one slice (ICI); DCN carries only the
+    # outer factor of the data axis. 1 = single slice.
+    num_slices: int = 1
 
 
 @dataclass(frozen=True)
@@ -142,13 +146,20 @@ class PallasConfig:
     # faster at 10.4M x 17, exact to f32 working precision). TPU only;
     # tables >= 2^24 rows fall back to the XLA scatter automatically.
     use_grad_kernel: bool = True
-    # Pack 128 // (d+1) logical table rows per 128-lane physical row
-    # (ops/pallas/packed_grad_kernel.py): TPU gathers are latency-bound
-    # per row, so the wide physical gather is ~2-3x faster and the table
-    # gets a compact row-major layout. TPU only; single-device lookup
-    # path only (sharded strategies keep the logical layout); not
-    # compatible with optimizer=lazy_adam (logical row addressing).
-    use_packed_tables: bool = True
+    # Embedding-table storage layout:
+    #   "auto"    — packed on TPU, logical elsewhere (the perf default)
+    #   "packed"  — 128 // (d+1) logical rows per 128-lane physical row
+    #               (ops/pallas/packed_grad_kernel.py): TPU gathers are
+    #               latency-bound per row, so the wide physical gather is
+    #               ~2-3x faster and the table gets a compact row-major
+    #               layout. Composes with model-axis row sharding (the
+    #               psum / all_to_all strategies have packed variants).
+    #   "logical" — plain (rows, d+1) tables.
+    # The resolved layout is recorded in checkpoint metadata and
+    # converted on restore (utils/layout.py), so checkpoints stay
+    # portable across backends and layout toggles. lazy_adam forces
+    # "logical" (its sparse update addresses logical rows).
+    table_layout: str = "auto"
 
 
 @dataclass(frozen=True)

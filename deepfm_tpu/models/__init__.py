@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from deepfm_tpu.config import ExperimentConfig
+from deepfm_tpu.config import ConfigError, ExperimentConfig
 from deepfm_tpu.data.packing import PackedSchema, pack_schema
 from deepfm_tpu.data.schema import DatasetSchema
 from deepfm_tpu.models.attention_deepfm import AttentionDeepFM
@@ -19,49 +19,93 @@ MODEL_REGISTRY: dict[str, type[CTRModel]] = {
 }
 
 
+def resolve_table_layout(config: ExperimentConfig) -> bool:
+    """Resolve config.pallas.table_layout to packed (True) / logical.
+
+    Backend is consulted ONLY for "auto"; "packed"/"logical" are honored
+    on every backend, so a config fully determines the parameter tree
+    (checkpoint metadata + utils/layout.py cover the "auto" case across
+    backends). lazy_adam forces the logical layout — its row-sparse
+    update addresses logical rows.
+    """
+    layout = config.pallas.table_layout
+    if layout not in ("auto", "packed", "logical"):
+        raise ConfigError(
+            f"pallas.table_layout must be auto|packed|logical, got {layout!r}"
+        )
+    if config.training.optimizer == "lazy_adam":
+        return False
+    if layout == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return layout == "packed"
+
+
 def create_model(
     name: str,
     schema: DatasetSchema | PackedSchema,
     config: ExperimentConfig,
     lookup_fn: Callable | None = None,
+    mesh=None,
+    packed_lookup_factory: Callable | None = None,
 ) -> CTRModel:
     """Instantiate a model by registry name.
 
     Accepts either a DatasetSchema (packed on the fly) or a pre-computed
-    PackedSchema. ``lookup_fn`` overrides the embedding-row lookup (sharded /
-    Pallas strategies).
+    PackedSchema. Lookup resolution:
+
+      * ``mesh`` with a model axis > 1 builds the sharded lookup
+        strategies (config.mesh.embedding_strategy) for BOTH table
+        layouts; otherwise
+      * an explicit ``lookup_fn`` (logical layout) /
+        ``packed_lookup_factory`` (packed layout) is used as given;
+      * with neither, the single-device defaults apply (packed wide
+        gather, or XLA gather with the Pallas grad-densify backward).
     """
     if name not in MODEL_REGISTRY:
         raise ValueError(f"Unknown model: {name}. Choose from {list(MODEL_REGISTRY)}")
     packed = schema if isinstance(schema, PackedSchema) else pack_schema(schema)
-    packed_tables = False
-    if lookup_fn is None and config.pallas.use_embedding_kernel:
-        from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
 
-        lookup_fn = pallas_lookup
-    if lookup_fn is None:
-        import jax
+    if mesh is not None and lookup_fn is None and packed_lookup_factory is None:
+        from deepfm_tpu.parallel import (
+            make_lookup_fn,
+            make_packed_lookup_factory,
+        )
 
-        on_tpu = jax.default_backend() == "tpu"
-        if (
-            on_tpu
-            and config.pallas.use_packed_tables
-            and config.training.optimizer != "lazy_adam"
-            # packed layout is a single-shard detail: with a model axis
-            # the tables row-shard (shard_map strategies pass a
-            # lookup_fn; GSPMD "auto" can't partition the packed custom
-            # call), so stay logical there
-            and config.mesh.model_axis == 1
-        ):
-            # packed physical layout: wide gathers + packed densify bwd
-            packed_tables = True
-        elif on_tpu and config.pallas.use_grad_kernel:
-            from deepfm_tpu.ops.pallas.grad_kernel import sparse_grad_lookup
+        strategy = config.mesh.embedding_strategy
+        lookup_fn = make_lookup_fn(mesh, strategy)
+        packed_lookup_factory = make_packed_lookup_factory(mesh, strategy)
 
-            lookup_fn = sparse_grad_lookup
+    packed_tables = resolve_table_layout(config)
+    sharded = lookup_fn is not None or packed_lookup_factory is not None
+    if packed_tables and sharded and packed_lookup_factory is None:
+        # the supplied lookup only understands the logical layout
+        packed_tables = False
+
+    if not sharded:
+        if lookup_fn is None and config.pallas.use_embedding_kernel:
+            from deepfm_tpu.ops.pallas.embedding_kernel import pallas_lookup
+
+            lookup_fn = pallas_lookup
+            packed_tables = False
+        if lookup_fn is None and config.pallas.use_grad_kernel:
+            # serves the logical layout AND any packed-mode width group
+            # whose rows are too wide to pack (128 // (d+1) == 1)
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from deepfm_tpu.ops.pallas.grad_kernel import (
+                    sparse_grad_lookup,
+                )
+
+                lookup_fn = sparse_grad_lookup
     return MODEL_REGISTRY[name](
-        packed=packed, config=config, lookup_fn=lookup_fn,
+        packed=packed,
+        config=config,
+        lookup_fn=lookup_fn,
         packed_tables=packed_tables,
+        packed_lookup_factory=packed_lookup_factory,
     )
 
 
@@ -72,5 +116,6 @@ __all__ = [
     "MODEL_REGISTRY",
     "create_model",
     "embedding_l2_loss",
+    "resolve_table_layout",
     "xDeepFM",
 ]

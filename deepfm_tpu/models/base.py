@@ -36,6 +36,7 @@ class CTRModel(nn.Module):
     config: ExperimentConfig
     lookup_fn: Callable | None = None
     packed_tables: bool = False
+    packed_lookup_factory: Callable | None = None
 
     def setup(self) -> None:
         self.embedding = FeatureEmbedding(
@@ -44,6 +45,7 @@ class CTRModel(nn.Module):
             lookup_fn=self.lookup_fn,
             compute_dtype=compute_dtype_of(self.config),
             packed_tables=self.packed_tables,
+            packed_lookup_factory=self.packed_lookup_factory,
             name="embedding",
         )
         self._build_components()

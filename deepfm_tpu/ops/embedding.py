@@ -185,10 +185,14 @@ class FeatureEmbedding(nn.Module):
     # 128-lane physical row. TPU gathers are latency-bound per row, so the
     # wide physical gather is ~2-3x faster, and the (phys, 128) layout is
     # naturally aligned (row-major (V, 17) would lane-pad 7.5x). Backward
-    # uses the packed Pallas densify kernel. Set by create_model on TPU;
-    # mutually exclusive with a custom lookup_fn (sharded strategies keep
-    # the unpacked logical layout).
+    # uses the packed Pallas densify kernel. Resolved by create_model from
+    # config.pallas.table_layout.
     packed_tables: bool = False
+    # Packed-layout lookup factory: factory(dcol, pack) -> LookupFn over a
+    # (phys, 128) table. None = the single-shard packed kernel; the
+    # sharded strategies (parallel/embedding_shard.py) supply psum /
+    # all_to_all variants so packed tables compose with a model axis.
+    packed_lookup_factory: Callable[[int, int], LookupFn] | None = None
 
     def _lookup(self, table: jax.Array, ids2d: jax.Array) -> jax.Array:
         """Gather rows for a (B, S_g) id block -> (B, S_g, d)."""
@@ -228,11 +232,14 @@ class FeatureEmbedding(nn.Module):
             mask = (ids_g != 0).astype(cdt)  # (B, S_g)
             local = ids_g + jnp.asarray(group.local_offsets)[None, :]
 
-            if pack > 1 and self.lookup_fn is None:
-                from deepfm_tpu.ops.pallas.packed_grad_kernel import (
-                    make_packed_lookup,
-                )
+            if pack > 1:
+                factory = self.packed_lookup_factory
+                if factory is None:
+                    from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+                        make_packed_lookup,
+                    )
 
+                    factory = make_packed_lookup
                 phys_rows = pad_rows(-(-group.total_rows // pack))
                 table = self.param(
                     f"table_w{d}",
@@ -240,9 +247,7 @@ class FeatureEmbedding(nn.Module):
                     (phys_rows, 128),
                 )
                 b, s = local.shape
-                rows = make_packed_lookup(d + 1, pack)(
-                    table, local.reshape(-1)
-                )
+                rows = factory(d + 1, pack)(table, local.reshape(-1))
                 raw = rows.reshape(b, s, d + 1).astype(cdt)
             else:
                 rows_padded = pad_rows(group.total_rows)

@@ -20,8 +20,21 @@ Strategies:
   capacity, exchanged with lax.all_to_all, gathered locally, and routed
   back. Moves ~n·d/m per device instead of 2·n·d but requires capacity
   padding; ids beyond capacity fall back to the psum path so the result is
-  exact for any skew. (See deepfm_tpu/parallel tests for the
-  sharded-vs-unsharded parity suite.)
+  exact for any skew. The fallback sits under a ``lax.cond`` on
+  ``any(overflow)``: when every id fits its capacity bucket (the common
+  case at capacity_factor 2.0 and uniform-ish id traffic) the full-table
+  psum gather never executes, preserving the strategy's bandwidth
+  advantage. (See deepfm_tpu/parallel tests for the sharded-vs-unsharded
+  parity suite and the no-overflow conditional test.)
+
+Both strategies come in a LOGICAL-layout flavor (table (V, d)) and a
+PACKED-layout flavor (table (phys, 128) storing ``pack = 128 // dcol``
+logical rows per 128-lane physical row — see
+ops/pallas/packed_grad_kernel.py). The packed flavors shard PHYSICAL rows
+over "model" (phys is padded to a multiple of 128, so any power-of-two
+axis divides evenly) and run the packed wide-gather forward + packed
+Pallas densify backward per shard, composing the single-chip packed-table
+speedup with model-axis scaling.
 
 The reference framework has no counterpart (no distributed training at all,
 reference prd.md:25); this is the north-star capability from BASELINE.json.
@@ -61,30 +74,42 @@ def _local_lookup(table_shard, ids, use_grad_kernel=None):
     return jnp.take(table_shard, ids, axis=0)
 
 
+def _packed_local_lookup(dcol: int, pack: int):
+    """Per-shard lookup for the packed (phys, 128) layout: wide physical
+    gather forward, packed Pallas densify backward."""
+    from deepfm_tpu.ops.pallas.packed_grad_kernel import make_packed_lookup
+
+    return make_packed_lookup(dcol, pack)
+
+
 def _psum_lookup_local(table_shard, ids, *, rows_per_shard, axis,
-                       use_grad_kernel=None):
+                       local_lookup):
     """Local body: gather owned rows, zero others, sum over the model axis."""
     shard = jax.lax.axis_index(axis)
     local = ids - shard * rows_per_shard
     ok = (local >= 0) & (local < rows_per_shard)
     safe = jnp.where(ok, local, 0)
-    vals = _local_lookup(table_shard, safe, use_grad_kernel)
+    vals = local_lookup(table_shard, safe)
     vals = vals * ok[:, None].astype(vals.dtype)
     return jax.lax.psum(vals, axis)
 
 
-def make_psum_lookup(mesh: Mesh, use_grad_kernel: bool | None = None):
-    """lookup_fn(table (V,d), flat_ids (n,)) -> (n,d), exact psum strategy."""
+def _make_psum_lookup_impl(mesh, local_lookup, logical_rows_per_shard):
+    """Shared psum-strategy wiring over any local lookup / table layout.
+
+    ``logical_rows_per_shard(table)`` maps the (sharded) table's global
+    shape to the LOGICAL id range each model shard owns.
+    """
     m = mesh.shape[AXIS_MODEL]
 
     def lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         if m == 1:
-            return _local_lookup(table, flat_ids, use_grad_kernel)
-        v = table.shape[0]
-        assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
+            return local_lookup(table, flat_ids)
         body = partial(
-            _psum_lookup_local, rows_per_shard=v // m, axis=AXIS_MODEL,
-            use_grad_kernel=use_grad_kernel,
+            _psum_lookup_local,
+            rows_per_shard=logical_rows_per_shard(table),
+            axis=AXIS_MODEL,
+            local_lookup=local_lookup,
         )
         return shard_map(
             body,
@@ -98,9 +123,44 @@ def make_psum_lookup(mesh: Mesh, use_grad_kernel: bool | None = None):
     return lookup
 
 
+def make_psum_lookup(mesh: Mesh, use_grad_kernel: bool | None = None):
+    """lookup_fn(table (V,d), flat_ids (n,)) -> (n,d), exact psum strategy."""
+    m = mesh.shape[AXIS_MODEL]
+
+    def rows_per_shard(table):
+        v = table.shape[0]
+        assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
+        return v // m
+
+    return _make_psum_lookup_impl(
+        mesh,
+        lambda t, i: _local_lookup(t, i, use_grad_kernel),
+        rows_per_shard,
+    )
+
+
+def make_psum_lookup_packed(mesh: Mesh, dcol: int, pack: int):
+    """Packed-layout psum strategy.
+
+    lookup_fn(table (phys, 128), flat_ids (n,) LOGICAL ids) -> (n, dcol).
+    Physical rows are sharded over "model"; each shard owns the logical id
+    range [shard * phys/m * pack, (shard+1) * phys/m * pack).
+    """
+    m = mesh.shape[AXIS_MODEL]
+    local_lookup = _packed_local_lookup(dcol, pack)
+
+    def rows_per_shard(table):
+        phys = table.shape[0]
+        assert phys % m == 0, (
+            f"packed table phys rows {phys} not divisible by model axis {m}"
+        )
+        return (phys // m) * pack
+
+    return _make_psum_lookup_impl(mesh, local_lookup, rows_per_shard)
+
+
 def _a2a_lookup_local(
-    table_shard, ids, *, rows_per_shard, m, capacity, axis,
-    use_grad_kernel=None,
+    table_shard, ids, *, rows_per_shard, m, capacity, axis, local_lookup,
 ):
     """Routed lookup body: bucket ids by owner, all_to_all, gather, route back.
 
@@ -129,7 +189,7 @@ def _a2a_lookup_local(
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=True)
 
     local = jnp.clip(recv - me * rows_per_shard, 0, rows_per_shard - 1)
-    rows = _local_lookup(table_shard, local.reshape(-1), use_grad_kernel)
+    rows = local_lookup(table_shard, local.reshape(-1))
     rows = rows.reshape(m, capacity, -1)
 
     # Route rows back: row k of back = rows for the ids I sent to shard k.
@@ -142,35 +202,32 @@ def _a2a_lookup_local(
     return out, overflow
 
 
-def make_a2a_lookup(
-    mesh: Mesh,
-    capacity_factor: float = 2.0,
-    use_grad_kernel: bool | None = None,
+def _make_a2a_lookup_impl(
+    mesh, local_lookup, psum_lookup, logical_rows_per_shard,
+    capacity_factor,
 ):
-    """EP-style all-to-all routed lookup with psum overflow fallback."""
+    """Shared all_to_all-strategy wiring over any local lookup / layout."""
     m = mesh.shape[AXIS_MODEL]
     dp = mesh.shape[AXIS_DATA]
 
     def lookup(table: jax.Array, flat_ids: jax.Array) -> jax.Array:
         if m == 1:
-            return _local_lookup(table, flat_ids, use_grad_kernel)
-        v = table.shape[0]
-        assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
+            return local_lookup(table, flat_ids)
         n = flat_ids.shape[0]
         if n % (dp * m) != 0:
             # id stream does not split over both axes: use exact psum path
-            return make_psum_lookup(mesh, use_grad_kernel)(table, flat_ids)
+            return psum_lookup(table, flat_ids)
         n_loc = n // (dp * m)
         capacity = min(
             n_loc, max(8, int(capacity_factor * -(-n_loc // m)))
         )
         body = partial(
             _a2a_lookup_local,
-            rows_per_shard=v // m,
+            rows_per_shard=logical_rows_per_shard(table),
             m=m,
             capacity=capacity,
             axis=AXIS_MODEL,
-            use_grad_kernel=use_grad_kernel,
+            local_lookup=local_lookup,
         )
         rows, overflow = shard_map(
             body,
@@ -179,17 +236,71 @@ def make_a2a_lookup(
             out_specs=(P((AXIS_DATA, AXIS_MODEL)), P((AXIS_DATA, AXIS_MODEL))),
             check_vma=False,
         )(table, flat_ids)
-        # Exact fallback for ids that overflowed their capacity bucket.
-        fallback = make_psum_lookup(mesh, use_grad_kernel)(
-            table, jnp.where(overflow, flat_ids, 0)
+
+        # Exact fallback for ids that overflowed their capacity bucket —
+        # under a cond so the full psum gather (2·n·d bytes over ICI) only
+        # runs on batches that actually overflow; shapes are static so the
+        # branch costs nothing when untaken and never recompiles.
+        def with_fallback(table, rows):
+            fixed = psum_lookup(table, jnp.where(overflow, flat_ids, 0))
+            return jnp.where(overflow[:, None], fixed, rows)
+
+        return jax.lax.cond(
+            jnp.any(overflow), with_fallback, lambda _, rows: rows,
+            table, rows,
         )
-        return jnp.where(overflow[:, None], fallback, rows)
 
     return lookup
 
 
+def make_a2a_lookup(
+    mesh: Mesh,
+    capacity_factor: float = 2.0,
+    use_grad_kernel: bool | None = None,
+):
+    """EP-style all-to-all routed lookup with conditional psum fallback."""
+    m = mesh.shape[AXIS_MODEL]
+
+    def rows_per_shard(table):
+        v = table.shape[0]
+        assert v % m == 0, f"table rows {v} not divisible by model axis {m}"
+        return v // m
+
+    return _make_a2a_lookup_impl(
+        mesh,
+        lambda t, i: _local_lookup(t, i, use_grad_kernel),
+        make_psum_lookup(mesh, use_grad_kernel),
+        rows_per_shard,
+        capacity_factor,
+    )
+
+
+def make_a2a_lookup_packed(
+    mesh: Mesh, dcol: int, pack: int, capacity_factor: float = 2.0
+):
+    """Packed-layout all_to_all strategy (see make_psum_lookup_packed)."""
+    m = mesh.shape[AXIS_MODEL]
+    local_lookup = _packed_local_lookup(dcol, pack)
+
+    def rows_per_shard(table):
+        phys = table.shape[0]
+        assert phys % m == 0, (
+            f"packed table phys rows {phys} not divisible by model axis {m}"
+        )
+        return (phys // m) * pack
+
+    return _make_a2a_lookup_impl(
+        mesh,
+        local_lookup,
+        make_psum_lookup_packed(mesh, dcol, pack),
+        rows_per_shard,
+        capacity_factor,
+    )
+
+
 def make_lookup_fn(mesh: Mesh | None, strategy: str = "psum"):
-    """Factory: strategy name -> lookup_fn (None = default XLA gather)."""
+    """Factory: strategy name -> LOGICAL-layout lookup_fn (None = default
+    XLA gather)."""
     if mesh is None or mesh.shape.get(AXIS_MODEL, 1) == 1:
         return None
     if strategy == "auto":
@@ -198,4 +309,23 @@ def make_lookup_fn(mesh: Mesh | None, strategy: str = "psum"):
         return make_psum_lookup(mesh)
     if strategy == "all_to_all":
         return make_a2a_lookup(mesh)
+    raise ValueError(f"Unknown embedding strategy: {strategy}")
+
+
+def make_packed_lookup_factory(mesh: Mesh | None, strategy: str = "psum"):
+    """Factory of PACKED-layout lookups for the embedding engine.
+
+    Returns ``factory(dcol, pack) -> lookup_fn(table (phys, 128),
+    flat_ids) -> (n, dcol)`` or None when the packed layout cannot be
+    row-sharded under the given strategy ("auto" leaves partitioning to
+    GSPMD, which cannot split the packed custom-vjp gather).
+    """
+    if mesh is None or mesh.shape.get(AXIS_MODEL, 1) == 1:
+        return None
+    if strategy == "auto":
+        return None
+    if strategy == "psum":
+        return lambda dcol, pack: make_psum_lookup_packed(mesh, dcol, pack)
+    if strategy == "all_to_all":
+        return lambda dcol, pack: make_a2a_lookup_packed(mesh, dcol, pack)
     raise ValueError(f"Unknown embedding strategy: {strategy}")

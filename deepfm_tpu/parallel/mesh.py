@@ -24,16 +24,43 @@ AXIS_DATA = "data"
 AXIS_MODEL = "model"
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Initialize the multi-host JAX runtime.
+def initialize_distributed(**kwargs) -> bool:
+    """Initialize the multi-host JAX runtime (safe no-op single-process).
 
     Must run on every host of the slice BEFORE any other JAX call. On
     TPU pods ``jax.distributed.initialize()`` auto-discovers the
     coordinator from the TPU metadata; elsewhere pass
     ``coordinator_address/num_processes/process_id`` explicitly. Enabled
     from the CLI via ``mesh.multihost: true``.
+
+    Guard semantics: with no explicit coordinator arguments and no
+    multi-process environment configured (no coordinator/cluster env
+    vars, not on a TPU pod), calling ``jax.distributed.initialize()``
+    would hang waiting for a coordinator — so this returns False without
+    touching the runtime. Returns True when initialization ran.
     """
+    import os
+
+    if not kwargs and not _multiprocess_env_configured(os.environ):
+        return False
     jax.distributed.initialize(**kwargs)
+    return True
+
+
+def _multiprocess_env_configured(env) -> bool:
+    """True when the environment advertises a coordinator for
+    jax.distributed.initialize() auto-discovery."""
+    markers = (
+        "JAX_COORDINATOR_ADDRESS",      # explicit JAX coordinator
+        "COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES",         # GCE TPU pod metadata
+        "TPU_WORKER_ID",
+        "CLOUD_TPU_TASK_ID",
+        "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+        "SLURM_JOB_NUM_NODES",          # cluster launchers jax understands
+        "OMPI_MCA_orte_hnp_uri",
+    )
+    return any(env.get(m) for m in markers)
 
 
 def build_mesh(
@@ -60,6 +87,65 @@ def build_mesh(
     arr = mesh_utils.create_device_mesh(
         (data_axis, model_axis), devices=np.asarray(devices)
     )
+    return Mesh(arr, (AXIS_DATA, AXIS_MODEL))
+
+
+def build_hybrid_mesh(
+    num_slices: int,
+    data_axis: int = -1,
+    model_axis: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "model") mesh spanning multiple TPU slices (DCN).
+
+    Multi-slice topology (SURVEY.md §5.8): chips within a slice talk over
+    ICI, slices talk over DCN. Model-axis collectives (the embedding
+    psum/all_to_all) must ride ICI, so the "model" axis is confined to a
+    single slice and DCN carries only data parallelism: the "data" axis
+    factors as ``num_slices x per-slice-data`` with the slice index
+    OUTERMOST, which is exactly the layout
+    ``mesh_utils.create_hybrid_device_mesh`` produces.
+
+    With ``num_slices == 1`` this is identical to :func:`build_mesh`.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % num_slices != 0:
+        raise ValueError(
+            f"{n} devices not divisible by {num_slices} slices"
+        )
+    per_slice = n // num_slices
+    if model_axis <= 0:
+        model_axis = 1
+    if per_slice % model_axis != 0:
+        raise ValueError(
+            f"per-slice device count {per_slice} not divisible by "
+            f"model axis {model_axis} (the model axis cannot span DCN)"
+        )
+    ici_data = per_slice // model_axis
+    if data_axis > 0 and data_axis != ici_data * num_slices:
+        raise ValueError(
+            f"mesh {data_axis}x{model_axis} != {n} devices over "
+            f"{num_slices} slices"
+        )
+    if num_slices == 1:
+        return build_mesh(ici_data, model_axis, devices=devices)
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (ici_data, model_axis),
+            (num_slices, 1),
+            devices=np.asarray(devices),
+        )
+    except (AttributeError, ValueError, KeyError):
+        # Virtual/CPU devices carry no slice_index attribute; emulate the
+        # hybrid layout (slice index outermost on the data axis) by
+        # grouping consecutive device blocks into slices.
+        arr = (
+            np.asarray(devices)
+            .reshape(num_slices, ici_data, model_axis)
+            .reshape(num_slices * ici_data, model_axis)
+        )
     return Mesh(arr, (AXIS_DATA, AXIS_MODEL))
 
 

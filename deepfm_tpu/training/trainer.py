@@ -58,11 +58,16 @@ def _is_table_name(name: str) -> bool:
     return name.startswith(("table_w", "fo_table"))
 
 
-def _use_fused_table_adam(config: ExperimentConfig) -> bool:
+def _use_fused_table_adam(config: ExperimentConfig, mesh=None) -> bool:
     """Fused Pallas Adam for the tables: one pass, buffers aliased in
     place (ops/pallas/adam_kernel.py). Exactly equivalent to the optax
     chain (parity-tested); TPU only — the interpret-mode kernel would
-    crawl on CPU."""
+    crawl on CPU. Disabled when the tables are row-sharded over a model
+    axis: GSPMD cannot partition the aliased custom call and would
+    all-gather the table around it; the masked optax Adam partitions
+    elementwise instead."""
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        return False
     return (
         config.training.optimizer == "adam"
         and config.training.fused_table_adam
@@ -71,7 +76,7 @@ def _use_fused_table_adam(config: ExperimentConfig) -> bool:
 
 
 def build_optimizer(
-    config: ExperimentConfig, params: Any | None = None
+    config: ExperimentConfig, params: Any | None = None, mesh=None
 ) -> optax.GradientTransformation:
     """Optimizer chain: global-norm clip -> Adam/AdamW/SGD(momentum 0.9).
 
@@ -95,7 +100,7 @@ def build_optimizer(
     """
     tc = config.training
     lazy = tc.optimizer == "lazy_adam"
-    fused = _use_fused_table_adam(config)
+    fused = _use_fused_table_adam(config, mesh)
     l2_reg = config.feature.embedding_l2_reg
 
     def emb_mask(params):
@@ -218,7 +223,7 @@ class Trainer:
         self.np_rng = np.random.default_rng(seed)
 
         self.lazy_tables = config.training.optimizer == "lazy_adam"
-        self.fused_tables = _use_fused_table_adam(config)
+        self.fused_tables = _use_fused_table_adam(config, mesh)
         self.scheduler = PlateauScheduler(
             lr=config.training.lr,
             enabled=config.training.scheduler == "reduce_on_plateau",
@@ -255,7 +260,7 @@ class Trainer:
             lambda key: self.model.init(key, ids, dense, train=False)
         )(init_key)
         params = variables["params"]
-        self.tx = build_optimizer(self.config, params)
+        self.tx = build_optimizer(self.config, params, self.mesh)
 
         def init_fn(params):
             opt_state = self.tx.init(params)
@@ -531,18 +536,20 @@ class Trainer:
     # loop synchronizes a single scalar per epoch.
     # ------------------------------------------------------------------
 
-    def _stage_chunks(
+    def _chunk_plan(
         self, data: PackedArrays, batch_size: int, *, shuffle: bool,
         drop_remainder: bool,
-    ) -> list[tuple[int, tuple]]:
-        """Stage the (shuffled, padded) epoch to the device in bounded
-        chunks of whole batches.
+    ):
+        """Yield (num_batches, host_arrays) chunks of the (shuffled,
+        padded) epoch WITHOUT staging them.
 
-        One chunk == one scan dispatch. Small datasets stage as a single
-        chunk; at production row counts the chunk size is capped by
-        ``training.stage_budget_mb`` of device memory, with all full
-        chunks equal-sized so the scan compiles at most twice (full +
-        remainder shape).
+        One chunk == one scan dispatch. Small datasets fit one chunk; at
+        production row counts the chunk size is capped by
+        ``training.stage_budget_mb``, with all full chunks equal-sized so
+        the scan compiles at most twice (full + remainder shape). Lazy:
+        only the chunk being materialized holds host memory, and the
+        consumer controls how many staged chunks are device-resident at
+        once (see _train_epoch — at most two, regardless of epoch size).
         """
         n = len(data)
         order = np.arange(n)
@@ -564,19 +571,29 @@ class Trainer:
         budget = self.config.training.stage_budget_mb * (1 << 20)
         chunk_nb = max(1, min(nb, budget // max(bytes_per_batch, 1)))
 
-        chunks = []
         for start in range(0, nb, chunk_nb):
             cb = min(chunk_nb, nb - start)
             sl = order[start * batch_size : (start + cb) * batch_size]
             wl = weights[start * batch_size : (start + cb) * batch_size]
-            arrays = (
+            yield cb, (
                 data.ids[sl].reshape(cb, batch_size, -1),
                 data.dense[sl].reshape(cb, batch_size, -1),
                 data.labels[sl].reshape(cb, batch_size),
                 wl.reshape(cb, batch_size),
             )
-            chunks.append((cb, self._put_staged(arrays)))
-        return chunks
+
+    def _stage_chunks(
+        self, data: PackedArrays, batch_size: int, *, shuffle: bool,
+        drop_remainder: bool,
+    ) -> list[tuple[int, tuple]]:
+        """Eagerly stage ALL chunks (eval path: small, cached epochs)."""
+        return [
+            (cb, self._put_staged(arrays))
+            for cb, arrays in self._chunk_plan(
+                data, batch_size, shuffle=shuffle,
+                drop_remainder=drop_remainder,
+            )
+        ]
 
     def _put_staged(self, arrays):
         if self.mesh is None:
@@ -740,7 +757,11 @@ class Trainer:
                 )
         finally:
             if resample_pool is not None:
-                resample_pool.shutdown(wait=False, cancel_futures=True)
+                # Join any in-flight resample: the worker mutates the
+                # adapter's shared numpy RNG, so letting it run past this
+                # scope would shift the RNG stream under a later
+                # synchronous resample in the same process.
+                resample_pool.shutdown(wait=True, cancel_futures=True)
             if trace_dir:
                 jax.profiler.stop_trace()
 
@@ -756,17 +777,35 @@ class Trainer:
         tc = self.config.training
         n = len(self.train_data)
         drop = n >= tc.batch_size  # keep BN stats clean of padded rows
-        chunks = self._stage_chunks(
+        plan = self._chunk_plan(
             self.train_data, tc.batch_size, shuffle=True, drop_remainder=drop
         )
-        # whole epoch = one scan dispatch per staged chunk (usually one)
+        # Whole epoch = one scan dispatch per chunk (usually one). Chunks
+        # stage LAZILY with one-ahead prefetch: chunk i+1 is put on
+        # device while chunk i's scan runs, and before staging i+1 we
+        # block on chunk i-1's loss so at most TWO chunks are ever
+        # device-resident — stage_budget_mb really bounds peak device
+        # memory at huge-epoch scale. Single-chunk epochs keep the
+        # one-sync-per-epoch fast path.
+        nxt = next(plan, None)
+        staged_next = self._put_staged(nxt[1]) if nxt is not None else None
         nb = 0
-        loss_sum = jnp.zeros((), jnp.float32)
-        for cb, staged in chunks:
+        losses = []
+        prev_loss = None
+        while nxt is not None:
+            cb = nxt[0]
+            staged = staged_next
             self.state, chunk_loss = self._epoch_scan(self.state, staged)
-            loss_sum = loss_sum + chunk_loss
+            staged = staged_next = None  # release after the scan consumes it
+            nxt = next(plan, None)
+            if nxt is not None:
+                if prev_loss is not None:
+                    jax.block_until_ready(prev_loss)
+                staged_next = self._put_staged(nxt[1])
+            losses.append(chunk_loss)
+            prev_loss = chunk_loss
             nb += cb
-        total_loss = float(loss_sum)  # single sync per epoch
+        total_loss = float(sum(losses))  # single sync for the tail
         n_examples = min(n, nb * tc.batch_size) if not drop else nb * tc.batch_size
         return total_loss / max(nb, 1), n_examples
 
@@ -782,10 +821,17 @@ class Trainer:
         cache = getattr(self, "_eval_stage_cache", None)
         if cache is None:
             cache = self._eval_stage_cache = {}
+        # Keyed by id(), so each entry also pins the PackedArrays object:
+        # without the strong reference a GC'd eval set could be replaced
+        # by a new object at the same address and silently served stale
+        # staged arrays.
         key = id(data)
-        if key not in cache:
-            cache[key] = self._stage_chunks(
-                data, tc.batch_size, shuffle=False, drop_remainder=False
+        if key not in cache or cache[key][0] is not data:
+            cache[key] = (
+                data,
+                self._stage_chunks(
+                    data, tc.batch_size, shuffle=False, drop_remainder=False
+                ),
             )
             if len(cache) > 4:  # bound device memory
                 cache.pop(next(iter(cache)))
@@ -794,7 +840,7 @@ class Trainer:
             self._eval_scan(
                 self.state.params, self.state.batch_stats, staged[0], staged[1]
             )
-            for _, staged in cache[key]
+            for _, staged in cache[key][1]
         ]
         scores = np.asarray(jnp.concatenate(parts) if len(parts) > 1 else parts[0])[:n]
         labels = data.labels
@@ -818,6 +864,12 @@ class Trainer:
     # persistence
     # ------------------------------------------------------------------
 
+    @property
+    def _table_layout(self) -> str:
+        return "packed" if getattr(self.model, "packed_tables", False) else (
+            "logical"
+        )
+
     def _save_best(self, epoch: int, best_metric: float) -> None:
         save_checkpoint(
             {
@@ -827,20 +879,47 @@ class Trainer:
             self.output_dir / "best_model",
         )
         save_results(
-            {"epoch": epoch, "best_metric": best_metric},
+            {
+                "epoch": epoch,
+                "best_metric": best_metric,
+                "table_layout": self._table_layout,
+            },
             self.output_dir / "best_model_meta.json",
         )
 
     def load_best(self) -> None:
-        """Load best params/batch_stats back into the live state."""
-        template = {
-            "params": jax.device_get(self.state.params),
-            "batch_stats": jax.device_get(self.state.batch_stats),
-        }
-        ckpt = load_checkpoint(self.output_dir / "best_model", template)
-        restored = jax.device_put(
-            {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
-        )
+        """Load best params/batch_stats back into the live state.
+
+        Layout-portable: the checkpoint's embedding tables may use either
+        storage layout (packed (phys, 128) vs logical (V, d+1) — e.g. a
+        TPU-trained packed checkpoint evaluated on CPU, or a flipped
+        pallas.table_layout). The restore detects the saved layout from
+        the array shapes and converts to the live model's layout
+        (utils/layout.py) before the device_put.
+        """
+        from deepfm_tpu.utils.layout import convert_table_tree, tree_layout
+
+        ckpt = load_checkpoint(self.output_dir / "best_model")
+        params = ckpt["params"]
+        saved_layout = tree_layout(params, self.packed_schema)
+        if saved_layout != self._table_layout:
+            self.logger.info(
+                f"Converting checkpoint tables {saved_layout} -> "
+                f"{self._table_layout}"
+            )
+            params = convert_table_tree(
+                params, self.packed_schema,
+                to_packed=self._table_layout == "packed",
+            )
+        restored = {"params": params, "batch_stats": ckpt["batch_stats"]}
+        if self.mesh is not None:
+            from deepfm_tpu.parallel.sharding import state_shardings
+
+            restored = jax.device_put(
+                restored, state_shardings(self.mesh, restored)
+            )
+        else:
+            restored = jax.device_put(restored)
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
@@ -872,6 +951,12 @@ class Trainer:
                 "best_metrics": best_metrics,
                 "patience_counter": patience_counter,
                 "scheduler": self.scheduler.state_dict(),
+                # resume restores optimizer state, whose tree structure
+                # depends on these two resolutions — recorded so a
+                # mismatched resume fails with a clear message instead of
+                # an orbax structure error
+                "table_layout": self._table_layout,
+                "fused_table_adam": self.fused_tables,
             },
             self.output_dir / "last_state_meta.json",
         )
@@ -884,6 +969,25 @@ class Trainer:
         import json
 
         meta = json.loads(meta_path.read_text())
+        saved_layout = meta.get("table_layout")
+        if saved_layout is not None and saved_layout != self._table_layout:
+            raise ValueError(
+                f"Cannot resume: checkpoint tables are {saved_layout} but "
+                f"the model uses {self._table_layout} (optimizer moments "
+                f"follow the table layout). Set pallas.table_layout="
+                f"{saved_layout} to resume this run, or start fresh. "
+                f"(best_model checkpoints DO convert across layouts — "
+                f"only mid-training resume is layout-pinned.)"
+            )
+        saved_fused = meta.get("fused_table_adam")
+        if saved_fused is not None and saved_fused != self.fused_tables:
+            raise ValueError(
+                f"Cannot resume: checkpoint was written with "
+                f"fused_table_adam={saved_fused} but this run resolves it "
+                f"to {self.fused_tables} (the optimizer state trees "
+                f"differ). Match training.fused_table_adam/backend, or "
+                f"start fresh."
+            )
         template = {
             "params": jax.device_get(self.state.params),
             "batch_stats": jax.device_get(self.state.batch_stats),

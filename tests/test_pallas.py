@@ -467,14 +467,11 @@ class TestFusedTableAdam:
             )
 
         def one_step(force_fused):
-            if force_fused:
-                monkeypatch.setattr(
-                    trainer_mod, "_use_fused_table_adam", lambda cfg: True
-                )
-            else:
-                monkeypatch.setattr(
-                    trainer_mod, "_use_fused_table_adam", lambda cfg: False
-                )
+            monkeypatch.setattr(
+                trainer_mod,
+                "_use_fused_table_adam",
+                lambda cfg, mesh=None: force_fused,
+            )
             cfg = make_cfg()
             model = create_model("deepfm", packed, cfg)
             tr = Trainer(model, packed, cfg, arr, arr, arr)
