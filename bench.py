@@ -1,18 +1,21 @@
-"""Throughput benchmark: DeepFM train-step examples/sec/chip on real TPU.
+"""Throughput benchmark: train-step examples/sec/chip on real TPU.
 
 Workload: Criteo-scale synthetic CTR batch (26 categorical fields,
 vocab 400k/field, fm_embed_dim 16, DNN [512,256,128], batch 16384,
 bfloat16 compute) — BASELINE.json configs[4]. Measures the full jitted
-train step (fwd + bwd + Adam update) with block_until_ready bracketing.
+train step (fwd + bwd + Adam update) for EVERY model family: xDeepFM
+(CIN [128,128]), AttentionDeepFM (4 heads, dim 64), and the flagship
+DeepFM. One JSON line per model; the flagship line prints LAST so a
+tail-parse picks it up.
 
-The reference publishes no throughput numbers (SURVEY.md §6); the baseline
-for ``vs_baseline`` is an equivalent PyTorch DeepFM train step implemented
-in bench_baseline_torch.py, run on this host's CPU (the reference targets
-CPU/MPS eager PyTorch; reference deepfm/cli.py:16-25). Pass --no-baseline
-to skip it and report vs_baseline against the last cached baseline value.
-
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "examples/sec/chip", "vs_baseline": N}
+The reference publishes no throughput numbers (SURVEY.md §6); the
+baseline for ``vs_baseline`` is an equivalent PyTorch DeepFM train step
+implemented in bench_baseline_torch.py, run on this host's CPU (the
+reference targets CPU/MPS eager PyTorch; reference deepfm/cli.py:16-25).
+All three models are normalized against that one baseline — the
+reference's own xDeepFM/AttentionDeepFM steps are strictly slower than
+its DeepFM, so the ratio is conservative for them. Pass --no-baseline to
+reuse the last cached baseline value.
 """
 
 from __future__ import annotations
@@ -32,16 +35,12 @@ VOCAB = 400_000
 WARMUP = 3
 STEPS = 10
 
+MODELS = ("xdeepfm", "attention_deepfm", "deepfm")  # flagship LAST
 
-def bench_tpu() -> float:
-    import jax
-    import jax.numpy as jnp
 
-    from deepfm_tpu.config import config_from_dict
+def _workload():
     from deepfm_tpu.data.packing import pack_features, pack_schema
     from deepfm_tpu.data.schema import DatasetSchema, FeatureType, FieldSchema
-    from deepfm_tpu.models import create_model
-    from deepfm_tpu.training.trainer import Trainer
 
     fields = {}
     for i in range(NUM_FIELDS):
@@ -61,10 +60,21 @@ def bench_tpu() -> float:
     }
     feats["dense_0"] = rng.normal(size=BATCH).astype(np.float32)
     labels = rng.integers(0, 2, BATCH).astype(np.float32)
-    arrays = pack_features(packed, feats, labels)
+    return packed, pack_features(packed, feats, labels)
 
+
+def bench_tpu(model_name: str) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    packed, arrays = _workload()
     config = config_from_dict(
         {
+            "model_name": model_name,
             "dnn": {
                 "hidden_units": [512, 256, 128],
                 "dropout": 0.0,
@@ -77,7 +87,7 @@ def bench_tpu() -> float:
             "output_dir": "/tmp/bench_out",
         }
     )
-    model = create_model("deepfm", packed, config)
+    model = create_model(model_name, packed, config)
     trainer = Trainer(
         model=model,
         packed_schema=packed,
@@ -128,9 +138,15 @@ def bench_torch_baseline() -> float | None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--no-baseline", action="store_true")
+    parser.add_argument(
+        "--models",
+        default=",".join(MODELS),
+        help="comma-separated subset of models to bench",
+    )
     args = parser.parse_args()
+    models = [m for m in args.models.split(",") if m]
 
-    value = bench_tpu()
+    values = {name: bench_tpu(name) for name in models}
 
     baseline = None
     if not args.no_baseline:
@@ -140,17 +156,19 @@ def main() -> None:
     if baseline is None and BASELINE_CACHE.exists():
         baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
 
-    vs = value / baseline if baseline else 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "deepfm_train_step_throughput",
-                "value": round(value, 1),
-                "unit": "examples/sec/chip",
-                "vs_baseline": round(vs, 2),
-            }
+    for name in models:
+        value = values[name]
+        vs = value / baseline if baseline else 1.0
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_train_step_throughput",
+                    "value": round(value, 1),
+                    "unit": "examples/sec/chip",
+                    "vs_baseline": round(vs, 2),
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":

@@ -188,6 +188,7 @@ def print_comparison_table(runs: list[dict]) -> None:
         + "".join(k.rjust(w_m) for k in ranking_keys)
         + "BstEp".rjust(w_m)
         + "Ex/s".rjust(w_m + 2)
+        + "Eff".rjust(8)
     )
     sep = "-" * len(header)
     print(sep)
@@ -203,6 +204,8 @@ def print_comparison_table(runs: list[dict]) -> None:
         ti = run.get("training_info", {})
         eps = ti.get("examples_per_sec")
         eps_s = f"{eps:,.0f}" if isinstance(eps, (int, float)) else "-"
+        eff = ti.get("scaling_efficiency")
+        eff_s = f"{eff:.0%}" if isinstance(eff, (int, float)) else "-"
         print(
             str(run.get("run_id", "?"))[:w_run].ljust(w_run)
             + str(cfg.get("model_name", "?"))[:w_model].ljust(w_model)
@@ -214,6 +217,7 @@ def print_comparison_table(runs: list[dict]) -> None:
             + "".join(_fmt(tm, k).rjust(w_m) for k in ranking_keys)
             + str(ti.get("best_epoch", "-")).rjust(w_m)
             + eps_s.rjust(w_m + 2)
+            + eff_s.rjust(8)
         )
     print(sep)
 

@@ -174,6 +174,10 @@ class BenchmarkConfig:
     warmup_steps: int = 5
     measure_steps: int = 20
     log_throughput: bool = True
+    # Single-chip examples/sec reference for the weak-scaling efficiency
+    # column (results.json training_info.scaling_efficiency =
+    # eps / (num_devices * reference_eps)). 0 = don't report efficiency.
+    reference_eps: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -711,10 +711,18 @@ class Trainer:
                 train_loss, n_examples = self._train_epoch()
                 dt = time.perf_counter() - t0
                 eps = n_examples / max(dt, 1e-9)
+                n_dev = self.mesh.size if self.mesh is not None else 1
                 self.throughput = {
                     "examples_per_sec": eps,
                     "epoch_seconds": dt,
+                    "num_devices": n_dev,
+                    "examples_per_sec_per_device": eps / n_dev,
                 }
+                ref_eps = self.config.benchmark.reference_eps
+                if ref_eps > 0:
+                    self.throughput["scaling_efficiency"] = eps / (
+                        n_dev * ref_eps
+                    )
 
                 val_metrics = self.evaluate(self.val_data, "val")
                 current = val_metrics.get(

@@ -1,7 +1,15 @@
-"""Logging setup: stdout + optional file handler with parent-aware dedupe.
+"""Run logging.
 
-Same observable behavior as the reference logger factory (reference:
-deepfm/utils/logging.py:8-41).
+Behavioral contract (kept compatible with the reference logger factory,
+reference: deepfm/utils/logging.py:8-41): INFO-level lines like
+``2026-01-01 12:00:00 [deepfm_tpu] INFO: message`` on stdout, an
+optional per-run file sink, and no duplicate emission when a child
+logger (``deepfm_tpu.trainer``) is fetched under an already-configured
+ancestor — the child just propagates upward.
+
+One deviation that matters in this runtime: absl/jax usually install a
+root handler, so a logger that owns its own stream sink disables
+propagation — otherwise every line would print twice.
 """
 
 from __future__ import annotations
@@ -10,34 +18,36 @@ import logging
 import sys
 from pathlib import Path
 
+LINE_FORMAT = "%(asctime)s [%(name)s] %(levelname)s: %(message)s"
+TIME_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+
+def _ancestry(name: str):
+    """Dotted-name ancestors, nearest first: a.b.c -> a.b, a."""
+    parts = name.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        yield ".".join(parts[:i])
+
+
+def _emits_via_ancestor(name: str) -> bool:
+    return any(logging.getLogger(a).handlers for a in _ancestry(name))
+
+
+def _attach(logger: logging.Logger, sink: logging.Handler) -> None:
+    sink.setFormatter(logging.Formatter(LINE_FORMAT, datefmt=TIME_FORMAT))
+    logger.addHandler(sink)
+
 
 def get_logger(name: str, log_file: str | None = None) -> logging.Logger:
+    """Fetch (and on first use, configure) the named run logger."""
     logger = logging.getLogger(name)
-    if logger.handlers:
+    if logger.handlers:  # already configured by an earlier call
         return logger
-
     logger.setLevel(logging.INFO)
-    formatter = logging.Formatter(
-        "%(asctime)s [%(name)s] %(levelname)s: %(message)s",
-        datefmt="%Y-%m-%d %H:%M:%S",
-    )
-
-    parent_name = name.rsplit(".", 1)[0] if "." in name else None
-    parent_configured = bool(
-        parent_name and logging.getLogger(parent_name).handlers
-    )
-    if not parent_configured:
-        handler = logging.StreamHandler(sys.stdout)
-        handler.setFormatter(formatter)
-        logger.addHandler(handler)
-        # Don't double-print through a configured root logger (absl/jax
-        # often install one).
+    if not _emits_via_ancestor(name):
+        _attach(logger, logging.StreamHandler(sys.stdout))
         logger.propagate = False
-
     if log_file is not None:
         Path(log_file).parent.mkdir(parents=True, exist_ok=True)
-        file_handler = logging.FileHandler(log_file)
-        file_handler.setFormatter(formatter)
-        logger.addHandler(file_handler)
-
+        _attach(logger, logging.FileHandler(log_file))
     return logger

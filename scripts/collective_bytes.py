@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -35,66 +34,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-DTYPE_BYTES = {
-    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
-    "s64": 8, "s32": 4, "u64": 8, "u32": 4, "s16": 2, "u16": 2,
-    "s8": 1, "u8": 1, "pred": 1,
-}
-
-COLLECTIVES = (
-    "all-to-all", "all-reduce", "all-gather", "reduce-scatter",
-    "collective-permute",
-)
-
-_SHAPE_RE = re.compile(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]")
-
-
-def _op_bytes(line: str) -> int:
-    m = _SHAPE_RE.search(line)
-    if not m:
-        return 0
-    dtype, dims = m.groups()
-    n = 1
-    for d in dims.split(","):
-        if d:
-            n *= int(d)
-    return n * DTYPE_BYTES.get(dtype, 4)
-
-
-def collective_inventory(hlo: str) -> dict:
-    """Collective op -> (count, bytes) split by main path vs conditional
-    branches (the a2a overflow fallback lives in a conditional
-    computation)."""
-    # computations reachable only from a conditional op
-    cond_comps = set()
-    for m in re.finditer(
-        r"(?:true_computation|false_computation|branch_computations)="
-        r"\{?([%\w.\-, ]+)\}?", hlo
-    ):
-        for name in m.group(1).split(","):
-            cond_comps.add(name.strip().lstrip("%"))
-
-    inv = {"main": {}, "conditional": {}}
-    current = None
-    in_cond = False
-    for line in hlo.splitlines():
-        mm = re.match(r"\s*(%?[\w.\-]+)\s*\([^)]*\)\s*->", line)
-        if line and not line[0].isspace() and ("{" in line):
-            cm = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)", line.strip())
-            if cm:
-                current = cm.group(1)
-                in_cond = current in cond_comps
-        del mm
-        for op in COLLECTIVES:
-            if re.search(rf"\b{op}(?:-start|-done|\.\d+)?\s*=|=\s*.*\b{op}\(", line) or (
-                f" {op}(" in line
-            ):
-                b = _op_bytes(line)
-                bucket = inv["conditional" if in_cond else "main"]
-                c, tot = bucket.get(op, (0, 0))
-                bucket[op] = (c + 1, tot + b)
-                break
-    return inv
+from deepfm_tpu.utils.hlo import collective_inventory  # noqa: E402
 
 
 def main() -> None:

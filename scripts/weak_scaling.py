@@ -1,15 +1,26 @@
-"""Weak-scaling harness: examples/sec at 1..N devices, fixed per-device batch.
+"""Weak-scaling harness: fixed per-device batch at 1..N devices.
 
-Runs one subprocess per device count (the XLA device count is fixed at
-backend init) and reports throughput + efficiency vs the single-device run:
+Per device count, a subprocess (the XLA device count is fixed at backend
+init) compiles and times the full sharded train step and reports:
+
+  * examples/sec + efficiency vs the 1-device run,
+  * the compiled step's COLLECTIVE INVENTORY (op counts + bytes moved
+    per step, parsed from optimized HLO) — exact and hardware-
+    independent, and
+  * a results.json artifact per device count under
+    ``outputs/weak_scaling/`` with ``examples_per_sec`` /
+    ``scaling_efficiency`` in training_info, so ``compare`` renders the
+    efficiency column.
+
+On a CPU host the virtual devices share the same cores, so the
+WALL-CLOCK efficiency column is noise there — it validates the sharding
+path (no recompiles, no surprise collectives); the collective byte
+counts are the meaningful measurement. Run with --platform tpu on a
+real multi-chip slice for the north-star numbers (BASELINE.json's
+weak-scaling metric).
 
     python scripts/weak_scaling.py --devices 1 2 4 8 --platform cpu
     python scripts/weak_scaling.py --platform tpu          # real chips
-
-On a CPU host the virtual devices share the same cores, so the efficiency
-column validates the *sharding path* (no recompiles, no unexpected
-collectives), not hardware scaling; run on a real multi-chip slice for the
-north-star numbers. Output: one JSON line per device count + a summary.
 """
 
 from __future__ import annotations
@@ -44,8 +55,9 @@ from deepfm_tpu.config import config_from_dict
 from deepfm_tpu.data.packing import pack_features, pack_schema
 from deepfm_tpu.data.schema import DatasetSchema, FeatureType, FieldSchema
 from deepfm_tpu.models import create_model
-from deepfm_tpu.parallel import build_mesh, make_lookup_fn
+from deepfm_tpu.parallel import build_mesh
 from deepfm_tpu.training.trainer import Trainer
+from deepfm_tpu.utils.hlo import collective_totals
 
 NF, VOCAB, D = 26, 100_000, 16
 batch = per_device_batch * n_devices
@@ -63,20 +75,27 @@ arrays = pack_features(packed, feats, rng.integers(0, 2, batch).astype(np.float3
 
 model_axis = 2 if (n_devices % 2 == 0 and strategy != "dp") else 1
 mesh = build_mesh(n_devices // model_axis, model_axis) if n_devices > 1 else None
-lookup_fn = make_lookup_fn(mesh, "psum") if mesh is not None else None
 
 config = config_from_dict({
     "dnn": {"hidden_units": [256, 128], "dropout": 0.0},
     "training": {"batch_size": batch},
+    "mesh": {"embedding_strategy": strategy if strategy != "dp" else "psum"},
     "output_dir": "/tmp/weak_scaling_out",
 })
-model = create_model("deepfm", packed, config, lookup_fn=lookup_fn)
+model = create_model("deepfm", packed, config, mesh=mesh)
 trainer = Trainer(model, packed, config, arrays, arrays, arrays, mesh=mesh)
 
 ids, dense, lab, w = trainer._put_batch(
     arrays.ids, arrays.dense, arrays.labels,
     np.ones((batch,), np.float32),
 )
+
+# collective inventory of the compiled step (exact, hardware-independent)
+compiled = trainer._train_step.lower(
+    trainer.state, ids, dense, lab, w
+).compile()
+coll = collective_totals(compiled.as_text())
+
 for _ in range(3):
     trainer.state, loss = trainer._train_step(trainer.state, ids, dense, lab, w)
 jax.block_until_ready(trainer.state)
@@ -89,7 +108,9 @@ print(json.dumps({
     "devices": n_devices,
     "mesh": dict(mesh.shape) if mesh else {"data": 1, "model": 1},
     "batch": batch,
+    "steps": steps,
     "examples_per_sec": batch * steps / dt,
+    "collectives": coll,
 }))
 """
 
@@ -101,7 +122,13 @@ def main() -> None:
     parser.add_argument("--per-device-batch", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--strategy", default="psum")
+    parser.add_argument(
+        "--artifacts-dir",
+        default="outputs/weak_scaling",
+        help="where per-device-count results.json artifacts go",
+    )
     args = parser.parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     results = []
     for n in args.devices:
@@ -112,7 +139,7 @@ def main() -> None:
             ],
             capture_output=True,
             text=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if not line:
@@ -121,15 +148,59 @@ def main() -> None:
         results.append(json.loads(line[-1]))
         print(line[-1])
 
-    if results:
-        base = results[0]["examples_per_sec"] / results[0]["devices"]
-        print("\ndevices  mesh          ex/s        efficiency")
-        for r in results:
-            eff = r["examples_per_sec"] / (base * r["devices"])
-            print(
-                f"{r['devices']:>7}  {str(r['mesh']):<12}  "
-                f"{r['examples_per_sec']:>10,.0f}  {eff:>9.1%}"
-            )
+    if not results:
+        return
+    base = results[0]["examples_per_sec"] / results[0]["devices"]
+
+    # write one results.json artifact per device count (compare-able)
+    sys.path.insert(0, repo)
+    from deepfm_tpu.utils import save_results
+
+    for r in results:
+        eff = r["examples_per_sec"] / (base * r["devices"])
+        r["scaling_efficiency"] = eff
+        save_results(
+            {
+                "run_id": f"weak_scaling_n{r['devices']}",
+                "config": {
+                    "model_name": "deepfm",
+                    "training": {"batch_size": r["batch"]},
+                },
+                "val_metrics": {},
+                "test_metrics": {},
+                "training_info": {
+                    "examples_per_sec": r["examples_per_sec"],
+                    "examples_per_sec_per_device": r["examples_per_sec"]
+                    / r["devices"],
+                    "scaling_efficiency": eff,
+                    "num_devices": r["devices"],
+                    "mesh": r["mesh"],
+                    "platform": args.platform,
+                    "collective_bytes_per_step": r["collectives"][
+                        "main_bytes"
+                    ],
+                    "collective_ops_per_step": r["collectives"][
+                        "main_count"
+                    ],
+                },
+            },
+            os.path.join(
+                repo, args.artifacts_dir, f"n{r['devices']}", "results.json"
+            ),
+        )
+
+    noise = " (CPU virtual mesh: wall-clock is NOISE; trust bytes)" if (
+        args.platform == "cpu"
+    ) else ""
+    print(f"\ndevices  mesh                 ex/s   efficiency{noise}")
+    for r in results:
+        coll = r["collectives"]
+        print(
+            f"{r['devices']:>7}  {str(r['mesh']):<15}{r['examples_per_sec']:>10,.0f}"
+            f"  {r['scaling_efficiency']:>9.1%}   "
+            f"collectives/step: {coll['main_count']} ops, "
+            f"{coll['main_bytes'] / 1024:,.0f} KiB {coll['ops']}"
+        )
 
 
 if __name__ == "__main__":
