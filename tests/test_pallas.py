@@ -81,6 +81,36 @@ class TestCinStackKernel:
         ds, _ = cin_layer_sizes((128, 128, 64), True)
         assert sum(ds) == 64 + 64 + 64
 
+    def test_criteo_shape_parity(self):
+        """F=27 / layers (128,128): the Criteo-scale shape where the
+        first layer has 729 input channels — the fused fwd AND the fused
+        backward (chunked outer products, selector matmuls) must match
+        the oracle."""
+        rng = np.random.default_rng(4)
+        B, F, D = 64, 27, 16
+        x0 = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        m1 = CIN(num_fields=F, embed_dim=D, layer_sizes=(128, 128),
+                 split_half=True)
+        m2 = CIN(num_fields=F, embed_dim=D, layer_sizes=(128, 128),
+                 split_half=True, use_pallas_stack=True)
+        v = m1.init(jax.random.PRNGKey(1), x0)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(v, x0)), np.asarray(m2.apply(v, x0)),
+            rtol=1e-4, atol=1e-5,
+        )
+        g1 = jax.grad(lambda p: jnp.sum(m1.apply({"params": p}, x0) ** 2))(
+            v["params"]
+        )
+        g2 = jax.grad(lambda p: jnp.sum(m2.apply({"params": p}, x0) ** 2))(
+            v["params"]
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+            )
+
 
 class TestAttentionKernel:
     @pytest.mark.parametrize("use_residual", [True, False])
