@@ -1,4 +1,4 @@
-.PHONY: train evaluate compare test test-all test-tpu lint format bench synth-data
+.PHONY: train evaluate compare test test-all test-tpu lint format bench synth-data weak-scaling collective-bytes profile
 
 CONFIG ?= configs/deepfm_movielens.yaml
 ARGS ?=
@@ -26,6 +26,15 @@ test-tpu:
 
 bench:
 	python bench.py
+
+weak-scaling:
+	python scripts/weak_scaling.py --devices 1 2 4 8
+
+collective-bytes:
+	python scripts/collective_bytes.py
+
+profile:
+	python scripts/profile_step.py --model $(MODEL)
 
 lint:
 	ruff check deepfm_tpu tests bench.py __graft_entry__.py || true

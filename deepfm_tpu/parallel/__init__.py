@@ -5,6 +5,7 @@ from deepfm_tpu.parallel.embedding_shard import (
     make_packed_lookup_factory,
     make_psum_lookup,
     make_psum_lookup_packed,
+    sparse_grad_exchange,
 )
 from deepfm_tpu.parallel.ring_attention import ring_field_attention
 from deepfm_tpu.parallel.mesh import (
@@ -35,5 +36,6 @@ __all__ = [
     "make_psum_lookup_packed",
     "replicated",
     "ring_field_attention",
+    "sparse_grad_exchange",
     "state_shardings",
 ]

@@ -46,6 +46,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax>=0.8 promotes shard_map to the top level
@@ -298,17 +299,142 @@ def make_a2a_lookup_packed(
     )
 
 
+# ---------------------------------------------------------------------------
+# Sparse gradient exchange over the data axis
+#
+# Under data parallelism the embedding tables are replicated over "data"
+# (row-sharded only over "model"), so autodiff produces a DENSE per-device
+# table cotangent that XLA all-reduces over the data axis — 2·V·d bytes
+# per step, the dominant DP scaling cost at production vocab sizes
+# (measured: 93 MiB/step at V=2.6M rows on the weak-scaling workload;
+# ~760 MB at the 10.4M-row Criteo config). But embedding gradients are
+# SPARSE: only the looked-up rows are nonzero. The wrapper below replaces
+# the lookup's vjp: all_gather the (ids, cotangent-rows) pairs over
+# "data" (n·d bytes — 25x less at Criteo scale) and densify locally per
+# model shard; every data peer computes an identical shard gradient, so
+# no dense reduction ever happens.
+# ---------------------------------------------------------------------------
+
+
+def _densify_logical(ct, ids, num_rows):
+    """Backend-appropriate dense (num_rows, d) cotangent from rows+ids."""
+    if jax.default_backend() == "tpu" and num_rows < (1 << 24):
+        from deepfm_tpu.ops.pallas.grad_kernel import densify_rows_grad
+
+        return densify_rows_grad(ct, ids, num_rows)
+    return (
+        jnp.zeros((num_rows, ct.shape[1]), ct.dtype).at[ids].add(ct)
+    )
+
+
+def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
+    """Install the sparse data-axis gradient exchange as a lookup's vjp.
+
+    ``fwd_fn(table, flat_ids) -> (n, dcol)`` is any forward above (its
+    own shard_map machinery included). ``packed_geom=(dcol, pack)``
+    selects the packed-layout densify. The returned lookup is
+    numerically identical to autodiff through ``fwd_fn`` (duplicate ids
+    sum deterministically; the densify kernel is exact to f32 working
+    precision) — only the collective pattern changes.
+    """
+    m = mesh.shape[AXIS_MODEL]
+    dp = mesh.shape[AXIS_DATA]
+
+    @jax.custom_vjp
+    def lookup(table, flat_ids):
+        return fwd_fn(table, flat_ids)
+
+    def fwd(table, flat_ids):
+        return fwd_fn(table, flat_ids), (flat_ids, table.shape)
+
+    def bwd(res, ct):
+        flat_ids, tshape = res
+        if packed_geom is None:
+            rows_per_shard = tshape[0] // m
+            densify = partial(_densify_logical, num_rows=rows_per_shard)
+        else:
+            dcol, pack = packed_geom
+            phys_per_shard = tshape[0] // m
+            rows_per_shard = phys_per_shard * pack
+
+            def densify(ct_all, ids_all):
+                from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+                    LANES,
+                    MAX_ROWS_F32,
+                    densify_rows_grad_packed,
+                )
+
+                if rows_per_shard >= MAX_ROWS_F32:
+                    logical = (
+                        jnp.zeros((rows_per_shard, dcol), jnp.float32)
+                        .at[ids_all]
+                        .add(ct_all.astype(jnp.float32))
+                    )
+                    packed_arr = logical.reshape(
+                        phys_per_shard, pack * dcol
+                    )
+                    if pack * dcol < LANES:
+                        packed_arr = jnp.pad(
+                            packed_arr, ((0, 0), (0, LANES - pack * dcol))
+                        )
+                    return packed_arr
+                return densify_rows_grad_packed(
+                    ct_all, ids_all, rows_per_shard, pack
+                )[:phys_per_shard]
+
+        def body(ids_loc, ct_loc):
+            if dp > 1:
+                ids_all = jax.lax.all_gather(
+                    ids_loc, AXIS_DATA, axis=0, tiled=True
+                )
+                ct_all = jax.lax.all_gather(
+                    ct_loc, AXIS_DATA, axis=0, tiled=True
+                )
+            else:
+                ids_all, ct_all = ids_loc, ct_loc
+            if m > 1:
+                shard = jax.lax.axis_index(AXIS_MODEL)
+                local = ids_all - shard * rows_per_shard
+                ok = (local >= 0) & (local < rows_per_shard)
+                ids_all = jnp.where(ok, local, 0)
+                ct_all = ct_all * ok[:, None].astype(ct_all.dtype)
+            return densify(ct_all, ids_all)
+
+        dtable = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS_DATA), P(AXIS_DATA, None)),
+            out_specs=P(AXIS_MODEL, None) if m > 1 else P(),
+            check_vma=False,
+        )(flat_ids, ct)
+        return dtable, np.zeros(flat_ids.shape, jax.dtypes.float0)
+
+    lookup.defvjp(fwd, bwd)
+    return lookup
+
+
 def make_lookup_fn(mesh: Mesh | None, strategy: str = "psum"):
     """Factory: strategy name -> LOGICAL-layout lookup_fn (None = default
-    XLA gather)."""
-    if mesh is None or mesh.shape.get(AXIS_MODEL, 1) == 1:
+    XLA gather).
+
+    All explicit strategies carry the sparse data-axis gradient exchange
+    (see sparse_grad_exchange); "auto" leaves everything to GSPMD.
+    """
+    if mesh is None:
         return None
-    if strategy == "auto":
+    m = mesh.shape.get(AXIS_MODEL, 1)
+    dp = mesh.shape.get(AXIS_DATA, 1)
+    if strategy == "auto" or (m == 1 and dp == 1):
         return None
+    if m == 1:
+        # pure DP: replicated-table gather fwd, sparse-gradient bwd
+        return sparse_grad_exchange(
+            mesh, lambda t, i: jnp.take(t, i, axis=0)
+        )
     if strategy == "psum":
-        return make_psum_lookup(mesh)
+        return sparse_grad_exchange(mesh, make_psum_lookup(mesh))
     if strategy == "all_to_all":
-        return make_a2a_lookup(mesh)
+        return sparse_grad_exchange(mesh, make_a2a_lookup(mesh))
     raise ValueError(f"Unknown embedding strategy: {strategy}")
 
 
@@ -318,14 +444,26 @@ def make_packed_lookup_factory(mesh: Mesh | None, strategy: str = "psum"):
     Returns ``factory(dcol, pack) -> lookup_fn(table (phys, 128),
     flat_ids) -> (n, dcol)`` or None when the packed layout cannot be
     row-sharded under the given strategy ("auto" leaves partitioning to
-    GSPMD, which cannot split the packed custom-vjp gather).
+    GSPMD, which cannot split the packed custom-vjp gather). Like the
+    logical factory, every strategy carries the sparse data-axis
+    gradient exchange.
     """
-    if mesh is None or mesh.shape.get(AXIS_MODEL, 1) == 1:
+    if mesh is None:
         return None
-    if strategy == "auto":
+    m = mesh.shape.get(AXIS_MODEL, 1)
+    dp = mesh.shape.get(AXIS_DATA, 1)
+    if strategy == "auto" or (m == 1 and dp == 1):
         return None
-    if strategy == "psum":
-        return lambda dcol, pack: make_psum_lookup_packed(mesh, dcol, pack)
-    if strategy == "all_to_all":
-        return lambda dcol, pack: make_a2a_lookup_packed(mesh, dcol, pack)
-    raise ValueError(f"Unknown embedding strategy: {strategy}")
+
+    def factory(dcol, pack):
+        if m == 1:
+            base = _packed_local_lookup(dcol, pack)
+        elif strategy == "psum":
+            base = make_psum_lookup_packed(mesh, dcol, pack)
+        elif strategy == "all_to_all":
+            base = make_a2a_lookup_packed(mesh, dcol, pack)
+        else:
+            raise ValueError(f"Unknown embedding strategy: {strategy}")
+        return sparse_grad_exchange(mesh, base, packed_geom=(dcol, pack))
+
+    return factory

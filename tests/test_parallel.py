@@ -593,3 +593,128 @@ class TestInitializeDistributed:
         monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1")
         assert mesh_mod.initialize_distributed() is True
         assert called == [{}]
+
+
+class TestSparseGradExchange:
+    """The DP table-gradient exchange: backward moves (ids, rows) via
+    all_gather instead of a dense 2·V·d all-reduce, for every strategy
+    and both table layouts."""
+
+    def _loss(self, lookup, ids, up):
+        return lambda t: jnp.sum(lookup(t, ids) * up)
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+    def test_logical_values_and_grads(self, mesh_shape):
+        from deepfm_tpu.parallel import make_lookup_fn
+
+        mesh = build_mesh(*mesh_shape)
+        table, ids = _table_ids()
+        rng = np.random.default_rng(7)
+        up = jnp.asarray(rng.normal(size=(64, D_EMB)).astype(np.float32))
+        lookup = make_lookup_fn(mesh, "psum")
+        assert lookup is not None  # DP-only meshes get a lookup now too
+
+        got = jax.jit(lookup)(table, ids)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(table)[np.asarray(ids)], rtol=1e-6
+        )
+        g = jax.jit(jax.grad(self._loss(lookup, ids, up)))(table)
+        ref = np.zeros_like(np.asarray(table))
+        np.add.at(ref, np.asarray(ids), np.asarray(up))
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+    @pytest.mark.parametrize("strategy", ["psum", "all_to_all"])
+    def test_packed_values_and_grads(self, mesh_shape, strategy):
+        from deepfm_tpu.parallel import make_packed_lookup_factory
+        from deepfm_tpu.utils.layout import unpack_table
+
+        mesh = build_mesh(*mesh_shape)
+        logical, packed, ids, rng = _packed_table_ids()
+        up = jnp.asarray(rng.normal(size=(64, 17)).astype(np.float32))
+        factory = make_packed_lookup_factory(mesh, strategy)
+        assert factory is not None
+        lookup = factory(17, 7)
+
+        got = jax.jit(lookup)(packed, ids)
+        np.testing.assert_allclose(
+            np.asarray(got), logical[np.asarray(ids)], rtol=1e-6
+        )
+        g = jax.jit(jax.grad(self._loss(lookup, ids, up)))(packed)
+        ref = np.zeros((1000, 17), np.float32)
+        np.add.at(ref, np.asarray(ids), np.asarray(up))
+        np.testing.assert_allclose(
+            unpack_table(np.asarray(g), 17, 7, 1000), ref,
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_backward_has_no_dense_table_allreduce(self):
+        """Compiled backward must all_gather n·d cotangent bytes, not
+        all-reduce the V·d table."""
+        from deepfm_tpu.parallel import make_lookup_fn
+        from deepfm_tpu.utils.hlo import collective_inventory
+
+        mesh = build_mesh(8, 1)
+        table, ids = _table_ids(n=64)
+        up = jnp.zeros((64, D_EMB), jnp.float32)
+        lookup = make_lookup_fn(mesh, "psum")
+
+        hlo = (
+            jax.jit(jax.grad(self._loss(lookup, ids, up)))
+            .lower(table)
+            .compile()
+            .as_text()
+        )
+        inv = collective_inventory(hlo)["main"]
+        table_bytes = table.size * 4
+        ar_bytes = inv.get("all-reduce", (0, 0))[1]
+        ag_bytes = inv.get("all-gather", (0, 0))[1]
+        assert ar_bytes < table_bytes, (
+            f"dense table all-reduce survived: {inv}"
+        )
+        assert ag_bytes > 0, f"expected sparse all_gather exchange: {inv}"
+
+    def test_dp_train_step_matches_single_device(self):
+        """Full DeepFM train step on a pure-DP (8, 1) mesh with the
+        sparse gradient exchange vs single device."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from conftest import make_synth_batch, make_synth_schema
+
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.dataset import iterate_batches
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.models import create_model
+        from deepfm_tpu.training.trainer import Trainer
+
+        schema = make_synth_schema()
+        packed = pack_schema(schema)
+        feats, labels = make_synth_batch(schema, 32, seed=5)
+        arr = pack_features(packed, feats, labels)
+        cfg = config_from_dict(
+            {
+                "output_dir": "/tmp/ptest_dp_sparse",
+                "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                "training": {"batch_size": 32, "optimizer": "sgd"},
+            }
+        )
+
+        def one_step(mesh):
+            model = create_model("deepfm", packed, cfg, mesh=mesh)
+            tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+            batch = next(iterate_batches(arr, 32))
+            ids, dense, lab, w = tr._put_batch(
+                batch.ids, batch.dense, batch.labels, batch.weights
+            )
+            state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+            return float(loss), jax.device_get(state.params)
+
+        loss_dp, params_dp = one_step(build_mesh(8, 1))
+        loss_1, params_1 = one_step(None)
+        assert loss_dp == pytest.approx(loss_1, rel=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_dp),
+            jax.tree_util.tree_leaves(params_1),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
