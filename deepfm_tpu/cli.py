@@ -44,6 +44,26 @@ def resolve_device(config: ExperimentConfig) -> None:
     raise ValueError(f"Unknown device {device!r}: use auto|cpu|tpu")
 
 
+def maybe_init_multihost(config: ExperimentConfig) -> bool:
+    """Initialize the multi-host runtime when mesh.multihost is set.
+
+    Must precede every other JAX call on each host of the slice. Returns
+    True when jax.distributed actually initialized; warns and returns
+    False when no coordinator is configured (single-process fallback).
+    """
+    if not config.mesh.multihost:
+        return False
+    from deepfm_tpu.parallel.mesh import initialize_distributed
+
+    if initialize_distributed():
+        return True
+    get_logger("deepfm_tpu").warning(
+        "mesh.multihost=true but no coordinator is configured; "
+        "running single-process"
+    )
+    return False
+
+
 def build_runtime(config: ExperimentConfig):
     """Resolve the device mesh from the mesh config section (None =
     single device, no sharding)."""
@@ -292,15 +312,7 @@ def main(argv: list[str] | None = None) -> None:
 
     config = load_config(args.config, args.override or None)
     resolve_device(config)  # must precede backend init
-    if config.mesh.multihost:
-        # must precede every other JAX call on each host of the slice
-        from deepfm_tpu.parallel.mesh import initialize_distributed
-
-        if not initialize_distributed():
-            get_logger("deepfm_tpu").warning(
-                "mesh.multihost=true but no coordinator is configured; "
-                "running single-process"
-            )
+    maybe_init_multihost(config)
     if args.command == "train":
         train_command(config)
     elif args.command == "evaluate":

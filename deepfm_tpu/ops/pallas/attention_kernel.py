@@ -55,7 +55,7 @@ def _block_oracle(x, p, num_heads, use_residual):
 
 def _attn_kernel(
     x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
-    ls_ref, lb_ref, out_ref, *, num_heads, use_residual,
+    ls_ref, lb_ref, out_ref, *, num_heads, use_residual, f_real,
 ):
     tb, f, d = x_ref.shape
     a = wq_ref.shape[1]
@@ -93,6 +93,15 @@ def _attn_kernel(
             )
             * scale
         )  # (TB, F, F)
+        if f_real < f:
+            # field axis zero-padded to the sublane grid: padded KEYS
+            # must not receive attention mass (padded queries emit
+            # garbage rows that the caller slices off)
+            key_pad = (
+                jax.lax.broadcasted_iota(jnp.int32, (tb, f, f), 2)
+                >= f_real
+            )
+            scores = jnp.where(key_pad, -1e30, scores)
         scores = scores - jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -115,18 +124,18 @@ def _attn_kernel(
 
 
 def _pick_tile(b: int, f: int, d: int, a: int, num_heads: int) -> int | None:
-    # Mosaic's stack allocator needs ~3x headroom over the raw operand
-    # accounting (live temporaries across the unrolled head loop), so the
-    # effective budget is conservative.
-    budget = 4 * 1024 * 1024
+    # Accounting counts every live buffer across the unrolled head loop
+    # (Mosaic does not reuse stack slots between unrolled iterations);
+    # the budget leaves headroom under the 16 MB scoped-vmem limit.
+    budget = 12 * 1024 * 1024
     for tb in (1024, 512, 256, 128):
         if b % tb != 0:
             continue
         elems = (
             2 * 2 * tb * f * d  # x in + out, double-buffered
             + 3 * tb * f * a  # q, k, v
-            + 2 * num_heads * tb * f * f  # scores + weights
-            + tb * f * a  # context
+            + 2 * num_heads * tb * f * f  # scores + weights (per head,
+            + tb * f * a  # context               unrolled -> all live)
         )
         if 4 * elems <= budget:
             return tb
@@ -140,8 +149,15 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
     )
 
     def forward(x, p):
-        b, f, d = x.shape
+        b, f_real, d = x.shape
         a = p["wq"].shape[1]
+        # Pad the field axis to the sublane grid (multiple of 8): the
+        # in-kernel (TB·F, ·) <-> (TB, F, ·) regroupings are only
+        # tile-exact when F divides the 8-row sublane tile — an odd F
+        # (Criteo: 27 fields) would silently relayout wrong. Padded keys
+        # are masked out of the softmax; padded query rows are sliced
+        # off below.
+        f = -(-f_real // 8) * 8
         if jax.default_backend() == "cpu":
             tb = b
         else:
@@ -150,9 +166,12 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
             return oracle(x, p)
 
         kernel = partial(
-            _attn_kernel, num_heads=num_heads, use_residual=use_residual
+            _attn_kernel, num_heads=num_heads, use_residual=use_residual,
+            f_real=f_real,
         )
         x32 = x.astype(jnp.float32)
+        if f != f_real:
+            x32 = jnp.pad(x32, ((0, 0), (0, f - f_real), (0, 0)))
 
         def rep(shape):
             nd = len(shape)
@@ -194,6 +213,8 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
             jnp.asarray(ls, jnp.float32).reshape(1, d),
             jnp.asarray(lb, jnp.float32).reshape(1, d),
         )
+        if f != f_real:
+            out = out[:, :f_real, :]
         return out.astype(x.dtype)
 
     @jax.custom_vjp

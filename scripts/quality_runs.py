@@ -69,7 +69,17 @@ def main() -> None:
     ap.add_argument("--seeds", nargs="*", type=int, default=[42, 43, 44])
     ap.add_argument("--num-neg-eval", type=int, default=199)
     ap.add_argument("--out", default="outputs/quality_runs")
+    ap.add_argument(
+        "--platform", default="auto", choices=["auto", "cpu"],
+        help="cpu forces the host backend (the axon TPU plugin ignores "
+        "JAX_PLATFORMS, so this must go through jax.config before init)",
+    )
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     summary: dict = {}
     for model in args.models:

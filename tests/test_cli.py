@@ -118,3 +118,56 @@ def test_unknown_dataset_rejected():
 
     with pytest.raises(ValueError, match="Unknown dataset"):
         build_adapter(DataConfig(dataset_name="nope"))
+
+
+def test_resolve_device_knob(monkeypatch):
+    import dataclasses
+
+    import jax
+
+    from deepfm_tpu.cli import resolve_device
+    from deepfm_tpu.config import ExperimentConfig
+
+    calls = []
+    monkeypatch.setattr(
+        jax.config, "update", lambda k, v: calls.append((k, v))
+    )
+    cfg = ExperimentConfig()
+    assert cfg.device == "auto"
+    resolve_device(cfg)  # auto: no forcing
+    assert calls == []
+
+    resolve_device(dataclasses.replace(cfg, device="cpu"))
+    assert calls == [("jax_platforms", "cpu")]
+
+    # tpu on a CPU-only backend must fail fast
+    with pytest.raises(RuntimeError, match="backend"):
+        resolve_device(dataclasses.replace(cfg, device="tpu"))
+
+    with pytest.raises(ValueError, match="auto|cpu|tpu"):
+        resolve_device(dataclasses.replace(cfg, device="banana"))
+
+
+def test_maybe_init_multihost(monkeypatch):
+    import dataclasses
+
+    from deepfm_tpu.cli import maybe_init_multihost
+    from deepfm_tpu.config import ExperimentConfig
+    from deepfm_tpu.parallel import mesh as mesh_mod
+
+    cfg = ExperimentConfig()
+    assert maybe_init_multihost(cfg) is False  # multihost off: no-op
+
+    on = dataclasses.replace(
+        cfg, mesh=dataclasses.replace(cfg.mesh, multihost=True)
+    )
+    # no coordinator configured -> guarded no-op with a warning
+    monkeypatch.setattr(
+        mesh_mod, "initialize_distributed", lambda **kw: False
+    )
+    assert maybe_init_multihost(on) is False
+    # coordinator present -> initialization runs
+    monkeypatch.setattr(
+        mesh_mod, "initialize_distributed", lambda **kw: True
+    )
+    assert maybe_init_multihost(on) is True

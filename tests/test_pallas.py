@@ -139,6 +139,30 @@ class TestAttentionKernel:
             np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3
         )
 
+    def test_criteo_field_count_parity(self):
+        """F=27: the field axis pads to the sublane grid with padded
+        keys masked out of the softmax — values/grads must still match
+        the unfused module exactly."""
+        from deepfm_tpu.ops.attention import MultiHeadSelfAttention
+
+        rng = np.random.default_rng(5)
+        B, F, D = 8, 27, 16
+        x = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+        m1 = MultiHeadSelfAttention(embed_dim=D, num_heads=4,
+                                    attention_dim=64)
+        m2 = MultiHeadSelfAttention(embed_dim=D, num_heads=4,
+                                    attention_dim=64, use_pallas=True)
+        v = m1.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(m1.apply(v, x)), np.asarray(m2.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
+        g1 = jax.grad(lambda z: jnp.sum(m1.apply(v, z) ** 2))(x)
+        g2 = jax.grad(lambda z: jnp.sum(m2.apply(v, z) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=1e-3, atol=1e-3
+        )
+
 
 class TestEmbeddingGatherKernel:
     def test_matches_take(self, monkeypatch):

@@ -117,3 +117,85 @@ def test_train_step_kernel_vs_xla_lookup(tpu):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_cin_stack_backward_criteo_shape(tpu):
+    """F=27 (729/1728 input channels): the fused stack BACKWARD kernel
+    (chunked outer products, selector matmuls — see
+    mosaic sublane-split note in cin_stack_kernel.py) must match the
+    XLA adjoints on hardware at the rel-L2 level. Element-wise max
+    comparisons are meaningless here: MXU bf16 quantization flips ReLU
+    boundary masks between the two computations."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.ops.cin import cin_compress, cin_layer_sizes
+    from deepfm_tpu.ops.pallas.cin_stack_kernel import make_cin_stack_pallas
+
+    layers, split = (128, 128), True
+    f, d, b = 27, 16, 2048
+    ds_, ns_ = cin_layer_sizes(layers, split)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+    ws, bs = [], []
+    prev = f
+    for i, ls in enumerate(layers):
+        ws.append(jnp.asarray(
+            rng.normal(size=(ls, prev * f)).astype(np.float32) * 0.1))
+        bs.append(jnp.asarray(
+            rng.normal(size=(ls,)).astype(np.float32) * 0.1))
+        prev = ns_[i] if (split and i < len(layers) - 1) else ls
+
+    fn = make_cin_stack_pallas(layers, split)
+
+    def oracle(x0, ws, bs):
+        hidden = x0
+        outs = []
+        for i, ls in enumerate(layers):
+            comp = jax.nn.relu(cin_compress(hidden, x0, ws[i], bs[i]))
+            if split and i < len(layers) - 1:
+                direct = comp[:, : ds_[i], :]
+                hidden = comp[:, ds_[i] :, :]
+            else:
+                direct = comp
+                hidden = comp
+            outs.append(jnp.sum(direct, axis=2))
+        return jnp.concatenate(outs, axis=1)
+
+    g = jnp.asarray(rng.normal(size=(b, fn.output_dim)).astype(np.float32))
+    gk = jax.jit(jax.grad(
+        lambda *A: jnp.sum(fn(*A) * g), argnums=(0, 1, 2)))(x0, ws, bs)
+    go = jax.jit(jax.grad(
+        lambda *A: jnp.sum(oracle(*A) * g), argnums=(0, 1, 2)))(x0, ws, bs)
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(gk), jax.tree_util.tree_leaves(go)
+    ):
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b_, np.float64)
+        rel_l2 = np.linalg.norm(a64 - b64) / max(np.linalg.norm(b64), 1e-9)
+        assert rel_l2 < 0.03, f"shape {a64.shape}: rel L2 {rel_l2:.4f}"
+
+
+def test_attention_kernel_criteo_field_count(tpu):
+    """F=27 pads the field axis to 32 in-kernel; padded keys must get no
+    attention mass on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.ops.attention import MultiHeadSelfAttention
+
+    rng = np.random.default_rng(3)
+    b, f, d = 512, 27, 16
+    x = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+
+    def run(use_pallas):
+        m = MultiHeadSelfAttention(
+            embed_dim=d, num_heads=4, attention_dim=64,
+            use_pallas=use_pallas,
+        )
+        v = m.init(jax.random.PRNGKey(0), x)
+        return np.asarray(m.apply(v, x))
+
+    ref = run(False)
+    got = run(True)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
