@@ -246,14 +246,21 @@ def densify_rows_grad_packed(
     return out[:num_phys]
 
 
-def make_packed_lookup(dcol: int, pack: int):
+def make_packed_lookup(dcol: int, pack: int, fwd_mode: str = "window"):
     """LookupFn factory for PACKED tables.
 
-    Returns fn(table (phys, 128), flat_ids (n,)) -> (n, dcol): gathers
-    the physical rows (wide, fast) and extracts each id's lane window;
-    backward densifies straight into the packed layout via the Pallas
-    kernel. Tables >= 2^24 logical rows fall back to an XLA
-    gather/scatter pair on a reshaped logical view.
+    Returns fn(table (phys, 128), flat_ids (n,)) -> (n, dcol); backward
+    densifies straight into the packed layout via the Pallas kernel.
+    Tables >= 2^24 logical rows fall back to an XLA gather/scatter pair
+    on a reshaped logical view.
+
+    Forward modes:
+      "window" — gather whole physical rows (n, 128) then extract each
+        id's lane window with ``pack`` masked selects. The extraction
+        re-reads the gathered rows per select (~7x the window bytes).
+      "flat"   — one gather of dcol-element contiguous slices from the
+        flat (phys·128,) view at offset ``(id//pack)·128 +
+        (id%pack)·dcol``. Same row-latency count, 1/pack the bytes.
     """
 
     @jax.custom_vjp
@@ -261,6 +268,12 @@ def make_packed_lookup(dcol: int, pack: int):
         return _fwd_impl(table, flat_ids)
 
     def _fwd_impl(table, flat_ids):
+        if fwd_mode == "flat":
+            flat = table.reshape(-1)
+            starts = (flat_ids // pack) * 128 + (flat_ids % pack) * dcol
+            return jax.vmap(
+                lambda s: jax.lax.dynamic_slice(flat, (s,), (dcol,))
+            )(starts)
         rows = jnp.take(table, flat_ids // pack, axis=0)  # (n, 128)
         sub = flat_ids % pack
         out = jnp.zeros((flat_ids.shape[0], dcol), table.dtype)
