@@ -382,6 +382,18 @@ def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
                     ct_all, ids_all, rows_per_shard, pack
                 )[:phys_per_shard]
 
+        if flat_ids.shape[0] % dp != 0:
+            # id stream doesn't split over the data axis (odd batch
+            # sizes): densify globally and let GSPMD place it — correct,
+            # just without the sparse-exchange saving.
+            if m > 1:
+                raise ValueError(
+                    f"flat id count {flat_ids.shape[0]} must divide the "
+                    f"data axis ({dp}) when tables are model-sharded"
+                )
+            dtable = densify(ct, flat_ids)
+            return dtable, np.zeros(flat_ids.shape, jax.dtypes.float0)
+
         def body(ids_loc, ct_loc):
             if dp > 1:
                 ids_all = jax.lax.all_gather(

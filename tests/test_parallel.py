@@ -718,3 +718,19 @@ class TestSparseGradExchange:
             jax.tree_util.tree_leaves(params_1),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_odd_id_count_dense_fallback(self):
+        """n not divisible by the data axis: grads stay correct via the
+        global-densify fallback (no shard_map trace error)."""
+        from deepfm_tpu.parallel import make_lookup_fn
+
+        mesh = build_mesh(8, 1)
+        table, _ = _table_ids()
+        rng = np.random.default_rng(9)
+        ids = jnp.asarray(rng.integers(0, V, 60).astype(np.int32))
+        up = jnp.asarray(rng.normal(size=(60, D_EMB)).astype(np.float32))
+        lookup = make_lookup_fn(mesh, "psum")
+        g = jax.jit(jax.grad(self._loss(lookup, ids, up)))(table)
+        ref = np.zeros_like(np.asarray(table))
+        np.add.at(ref, np.asarray(ids), np.asarray(up))
+        np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-5, atol=1e-6)
