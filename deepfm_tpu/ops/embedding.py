@@ -25,10 +25,14 @@ TPU-native differences (deliberate, not incidental):
     power-of-two "model" mesh axis divides evenly and gathers stay aligned
     to TPU lanes.
 
-The raw-row lookup is pluggable (``lookup_fn``): default is XLA gather;
-alternatives are the shard_map all-to-all / psum strategies in
-deepfm_tpu/parallel/embedding_shard.py and the Pallas kernel in
-deepfm_tpu/ops/pallas/embedding_kernel.py.
+The raw-row lookup is pluggable per layout: ``lookup_fn`` serves the
+logical layout (default XLA gather; alternatives: the shard_map
+all-to-all / psum strategies in deepfm_tpu/parallel/embedding_shard.py,
+the Pallas kernel in deepfm_tpu/ops/pallas/embedding_kernel.py), and
+``packed_lookup_factory`` serves the packed layout (default
+single-shard packed kernel; sharded variants from the same strategies).
+Width groups too wide to pack (128 // (d+1) == 1) use ``lookup_fn``
+even when ``packed_tables`` is set.
 """
 
 from __future__ import annotations
