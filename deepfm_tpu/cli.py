@@ -24,24 +24,39 @@ def resolve_device(config: ExperimentConfig) -> None:
       "cpu"  — force host CPU (debug runs; the axon TPU plugin ignores
                the JAX_PLATFORMS env var, so this must go through
                jax.config);
-      "tpu"  — require a TPU backend, fail fast if none is attached.
+      "tpu"  — require a TPU backend (enforced by assert_device, which
+               runs AFTER multihost init — checking here would
+               initialize the backend and break
+               jax.distributed.initialize()).
+
+    This function never initializes the backend; it only validates the
+    knob and applies config.
     """
+    device = config.device
+    if device not in ("auto", "cpu", "tpu"):
+        raise ValueError(f"Unknown device {device!r}: use auto|cpu|tpu")
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def assert_device(config: ExperimentConfig) -> None:
+    """Post-init check for device=tpu: fail fast when no TPU is attached.
+
+    Separate from resolve_device because jax.default_backend()
+    INITIALIZES the backend, which must not happen before
+    jax.distributed.initialize() on multihost runs.
+    """
+    if config.device != "tpu":
+        return
     import jax
 
-    device = config.device
-    if device == "auto":
-        return
-    if device == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        return
-    if device == "tpu":
-        backend = jax.default_backend()
-        if backend not in ("tpu", "axon"):
-            raise RuntimeError(
-                f"device=tpu requested but the JAX backend is {backend!r}"
-            )
-        return
-    raise ValueError(f"Unknown device {device!r}: use auto|cpu|tpu")
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        raise RuntimeError(
+            f"device=tpu requested but the JAX backend is {backend!r}"
+        )
 
 
 def maybe_init_multihost(config: ExperimentConfig) -> bool:
@@ -311,8 +326,9 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     config = load_config(args.config, args.override or None)
-    resolve_device(config)  # must precede backend init
-    maybe_init_multihost(config)
+    resolve_device(config)  # config-only; never initializes the backend
+    maybe_init_multihost(config)  # must precede every other JAX call
+    assert_device(config)  # backend-touching check, post-init
     if args.command == "train":
         train_command(config)
     elif args.command == "evaluate":

@@ -82,6 +82,16 @@ def create_model(
     if packed_tables and sharded and packed_lookup_factory is None:
         # the supplied lookup only understands the logical layout
         packed_tables = False
+    if (
+        packed_tables
+        and packed_lookup_factory is None
+        and mesh is not None
+        and mesh.shape.get("model", 1) > 1
+    ):
+        # model-sharded mesh under strategy "auto": GSPMD cannot
+        # partition the single-shard packed custom-vjp gather — it would
+        # all-gather the whole table around it. Stay logical.
+        packed_tables = False
 
     if not sharded:
         if lookup_fn is None and config.pallas.use_embedding_kernel:

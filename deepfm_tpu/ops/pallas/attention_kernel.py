@@ -127,8 +127,12 @@ def _pick_tile(b: int, f: int, d: int, a: int, num_heads: int) -> int | None:
     # Accounting counts every live buffer across the unrolled head loop
     # (Mosaic does not reuse stack slots between unrolled iterations);
     # the budget leaves headroom under the 16 MB scoped-vmem limit.
+    # Tile fixed at 128: the one hardware-validated configuration — the
+    # accounting's headroom factor is only calibrated there, and larger
+    # tiles risk a runtime scoped-vmem compile failure (no oracle
+    # fallback possible at that point) for no measured gain.
     budget = 12 * 1024 * 1024
-    for tb in (1024, 512, 256, 128):
+    for tb in (128,):
         if b % tb != 0:
             continue
         elems = (

@@ -49,18 +49,31 @@ def initialize_distributed(**kwargs) -> bool:
 
 def _multiprocess_env_configured(env) -> bool:
     """True when the environment advertises a coordinator for
-    jax.distributed.initialize() auto-discovery."""
-    markers = (
-        "JAX_COORDINATOR_ADDRESS",      # explicit JAX coordinator
+    jax.distributed.initialize() auto-discovery.
+
+    Signals that also appear on SINGLE-host setups do not count:
+    TPU_WORKER_HOSTNAMES only counts with >= 2 comma-separated hosts
+    (the axon plugin setdefaults it to "localhost" on this very
+    workspace), SLURM only with > 1 node, and bare worker-id variables
+    (TPU_WORKER_ID / CLOUD_TPU_TASK_ID) not at all.
+    """
+    coordinators = (
+        "JAX_COORDINATOR_ADDRESS",
         "COORDINATOR_ADDRESS",
-        "TPU_WORKER_HOSTNAMES",         # GCE TPU pod metadata
-        "TPU_WORKER_ID",
-        "CLOUD_TPU_TASK_ID",
         "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
-        "SLURM_JOB_NUM_NODES",          # cluster launchers jax understands
         "OMPI_MCA_orte_hnp_uri",
     )
-    return any(env.get(m) for m in markers)
+    if any(env.get(m) for m in coordinators):
+        return True
+    hostnames = env.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    try:
+        if int(env.get("SLURM_JOB_NUM_NODES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False
 
 
 def build_mesh(

@@ -808,7 +808,11 @@ class Trainer:
             nxt = next(plan, None)
             if nxt is not None:
                 if prev_loss is not None:
-                    jax.block_until_ready(prev_loss)
+                    # host READBACK, not block_until_ready: on the
+                    # relay-attached TPU block_until_ready can report
+                    # ready for unconsumed results (CLAUDE.md), which
+                    # would let >2 staged chunks pile up on device
+                    float(prev_loss)
                 staged_next = self._put_staged(nxt[1])
             losses.append(chunk_loss)
             prev_loss = chunk_loss

@@ -25,8 +25,28 @@ COLLECTIVES = (
 _SHAPE_RE = re.compile(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]")
 
 
+def _match_collective(line: str):
+    """(base_op, counts) for a collective INSTRUCTION on this line.
+
+    Matches the opcode position (followed by its operand paren), so
+    variable names like ``%all-gather-start.1 =`` and operand
+    references inside parens don't trigger. Async pairs count once, at
+    the ``-start`` op; ``-done`` is recognized but not counted.
+    """
+    for op in COLLECTIVES:
+        m = re.search(rf"[\s]({re.escape(op)}(?:-start|-done)?)\(", line)
+        if m:
+            return op, not m.group(1).endswith("-done")
+    return None
+
+
 def op_output_bytes(line: str) -> int:
-    """Bytes of the (first) output shape on an HLO instruction line."""
+    """Bytes of the (first) output shape on an HLO instruction line.
+
+    For async ``-start`` ops the first tuple element is the operand
+    alias, so async collectives report operand bytes rather than result
+    bytes — close enough for the traffic comparisons these feed (and
+    the CPU-mesh programs these parse emit sync collectives)."""
     m = _SHAPE_RE.search(line)
     if not m:
         return 0
@@ -62,15 +82,14 @@ def collective_inventory(hlo: str) -> dict:
             if cm:
                 current = cm.group(1)
                 in_cond = current in cond_comps
-        for op in COLLECTIVES:
-            if re.search(
-                rf"\b{op}(?:-start|-done|\.\d+)?\s*=|=\s*.*\b{op}\(", line
-            ) or (f" {op}(" in line):
+        hit = _match_collective(line)
+        if hit is not None:
+            op, counts = hit
+            if counts:
                 b = op_output_bytes(line)
                 bucket = inv["conditional" if in_cond else "main"]
                 c, tot = bucket.get(op, (0, 0))
                 bucket[op] = (c + 1, tot + b)
-                break
     return inv
 
 

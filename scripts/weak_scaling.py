@@ -150,7 +150,14 @@ def main() -> None:
 
     if not results:
         return
-    base = results[0]["examples_per_sec"] / results[0]["devices"]
+    baseline_run = min(results, key=lambda r: r["devices"])
+    if baseline_run["devices"] != 1:
+        print(
+            f"WARNING: no 1-device run; efficiency is relative to the "
+            f"{baseline_run['devices']}-device per-device rate",
+            file=sys.stderr,
+        )
+    base = baseline_run["examples_per_sec"] / baseline_run["devices"]
 
     # write one results.json artifact per device count (compare-able)
     sys.path.insert(0, repo)

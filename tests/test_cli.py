@@ -125,7 +125,7 @@ def test_resolve_device_knob(monkeypatch):
 
     import jax
 
-    from deepfm_tpu.cli import resolve_device
+    from deepfm_tpu.cli import assert_device, resolve_device
     from deepfm_tpu.config import ExperimentConfig
 
     calls = []
@@ -140,9 +140,14 @@ def test_resolve_device_knob(monkeypatch):
     resolve_device(dataclasses.replace(cfg, device="cpu"))
     assert calls == [("jax_platforms", "cpu")]
 
-    # tpu on a CPU-only backend must fail fast
+    # resolve_device never touches the backend; device=tpu validation
+    # happens post-multihost-init in assert_device
+    tpu_cfg = dataclasses.replace(cfg, device="tpu")
+    resolve_device(tpu_cfg)
+    assert calls == [("jax_platforms", "cpu")]  # no new config writes
     with pytest.raises(RuntimeError, match="backend"):
-        resolve_device(dataclasses.replace(cfg, device="tpu"))
+        assert_device(tpu_cfg)  # CPU-only backend must fail fast
+    assert_device(cfg)  # auto: no-op
 
     with pytest.raises(ValueError, match="auto|cpu|tpu"):
         resolve_device(dataclasses.replace(cfg, device="banana"))
