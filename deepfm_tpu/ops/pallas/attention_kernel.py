@@ -57,34 +57,31 @@ def _attn_kernel(
     x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
     ls_ref, lb_ref, out_ref, *, num_heads, use_residual, f_real,
 ):
+    # Weights arrive PRE-SPLIT per head on an untiled leading axis:
+    #   wq/wk/wv (H, d, hd), bq/bk/bv (H, 1, hd), wo (H, hd, d).
+    # Heads run in a fori_loop with the output projection folded in
+    # (out = Σ_h ctx_h @ wo_h), so per-head Q/K/V/score buffers are
+    # allocated ONCE — the unrolled-head version held every head's
+    # temporaries live simultaneously (Mosaic does not reuse stack slots
+    # across unrolled iterations) and blew scoped vmem at F=32/TB=128.
     tb, f, d = x_ref.shape
-    a = wq_ref.shape[1]
-    hd = a // num_heads
+    hd = wq_ref.shape[2]
     x = x_ref[:]
     x2 = x.reshape(tb * f, d)
 
-    def mm(z, w_r, b_r):
-        return (
-            jax.lax.dot_general(
-                z, w_r[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_r[:]
-        )
-
-    q = mm(x2, wq_ref, bq_ref)  # (TB*F, A)
-    k = mm(x2, wk_ref, bk_ref)
-    v = mm(x2, wv_ref, bv_ref)
-
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-    # Mosaic matmuls support one batch dim, so heads unroll statically:
-    # per head, a lane slice of Q/K/V and a (TB)-batched (F, hd) matmul.
-    ctx_heads = []
-    for h in range(num_heads):
-        qh = q[:, h * hd : (h + 1) * hd].reshape(tb, f, hd)
-        kh = k[:, h * hd : (h + 1) * hd].reshape(tb, f, hd)
-        vh = v[:, h * hd : (h + 1) * hd].reshape(tb, f, hd)
+
+    def proj(w, b):
+        return jax.lax.dot_general(
+            x2, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+
+    def head_body(h, out_acc):
+        qh = proj(wq_ref[h], bq_ref[h]).reshape(tb, f, hd)
+        kh = proj(wk_ref[h], bk_ref[h]).reshape(tb, f, hd)
+        vh = proj(wv_ref[h], bv_ref[h]).reshape(tb, f, hd)
         scores = (
             jax.lax.dot_general(
                 qh, kh,
@@ -109,10 +106,17 @@ def _attn_kernel(
             w, vh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (TB, F, hd)
-        ctx_heads.append(ctx_h.reshape(tb * f, hd))
-    ctx = jnp.concatenate(ctx_heads, axis=-1)  # (TB*F, A)
-    out = mm(ctx, wo_ref, bo_ref)
+        ).reshape(tb * f, hd)
+        return out_acc + jax.lax.dot_general(
+            ctx_h, wo_ref[h],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = jax.lax.fori_loop(
+        0, num_heads, head_body, jnp.zeros((tb * f, d), jnp.float32)
+    )
+    out = out + bo_ref[:]
 
     if use_residual:
         y = out + x2
@@ -124,22 +128,23 @@ def _attn_kernel(
 
 
 def _pick_tile(b: int, f: int, d: int, a: int, num_heads: int) -> int | None:
-    # Accounting counts every live buffer across the unrolled head loop
-    # (Mosaic does not reuse stack slots between unrolled iterations);
-    # the budget leaves headroom under the 16 MB scoped-vmem limit.
-    # Tile fixed at 128: the one hardware-validated configuration — the
-    # accounting's headroom factor is only calibrated there, and larger
-    # tiles risk a runtime scoped-vmem compile failure (no oracle
-    # fallback possible at that point) for no measured gain.
-    budget = 12 * 1024 * 1024
-    for tb in (128,):
+    # LANE-PADDING-AWARE accounting: every materialized value in this
+    # kernel has a small trailing dim (d=16, hd=16, f<=32) that Mosaic
+    # pads to 128 lanes, so useful-byte accounting under-counts ~4-8x
+    # (measured: 17.2 MB actual vs 4.2 MB naive at f=32/tb=128). Count
+    # each buffer at 128 lanes. Per-head buffers live once (fori over
+    # heads).
+    budget = 14 * 1024 * 1024
+    for tb in (128, 64):
         if b % tb != 0:
             continue
+        lanes = 128
         elems = (
-            2 * 2 * tb * f * d  # x in + out, double-buffered
-            + 3 * tb * f * a  # q, k, v
-            + 2 * num_heads * tb * f * f  # scores + weights (per head,
-            + tb * f * a  # context               unrolled -> all live)
+            2 * 2 * tb * f * lanes  # x in + out blocks, double-buffered
+            + 3 * tb * f * lanes  # per-head q, k, v
+            + 3 * tb * f * lanes  # score chain (scores, exp, weights)
+            + tb * f * lanes  # context
+            + 2 * tb * f * lanes  # out accumulator + carry copy
         )
         if 4 * elems <= budget:
             return tb
@@ -155,12 +160,19 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
     def forward(x, p):
         b, f_real, d = x.shape
         a = p["wq"].shape[1]
+        # Fused attention wins at SMALL field counts (F<=16: 3.4x faster
+        # forward, hardware-validated). At Criteo field counts the
+        # kernel's buffers are dominated by 128-lane padding of the tiny
+        # trailing dims (d/hd=16) and the fused path measures SLOWER
+        # than XLA (188k vs 238k ex/s end-to-end at F=27) — so larger F
+        # deliberately falls back to the oracle.
+        if f_real > 16:
+            return oracle(x, p)
         # Pad the field axis to the sublane grid (multiple of 8): the
         # in-kernel (TB·F, ·) <-> (TB, F, ·) regroupings are only
         # tile-exact when F divides the 8-row sublane tile — an odd F
-        # (Criteo: 27 fields) would silently relayout wrong. Padded keys
-        # are masked out of the softmax; padded query rows are sliced
-        # off below.
+        # would silently relayout wrong. Padded keys are masked out of
+        # the softmax; padded query rows are sliced off below.
         f = -(-f_real // 8) * 8
         if jax.default_backend() == "cpu":
             tb = b
@@ -185,6 +197,22 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
 
         ls = p.get("ln_scale", jnp.ones((d,), jnp.float32))
         lb = p.get("ln_bias", jnp.zeros((d,), jnp.float32))
+        hd = a // num_heads
+
+        # pre-split per head on an untiled leading axis (columns are
+        # h-major: column index = h*hd + j)
+        def qkv(w):
+            return (
+                w.astype(jnp.float32)
+                .reshape(d, num_heads, hd)
+                .transpose(1, 0, 2)
+            )
+
+        def bias(bv):
+            return bv.astype(jnp.float32).reshape(num_heads, 1, hd)
+
+        wo3 = p["wo"].astype(jnp.float32).reshape(num_heads, hd, d)
+
         out = pl.pallas_call(
             kernel,
             grid=(b // tb,),
@@ -192,10 +220,10 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
                 pl.BlockSpec(
                     (tb, f, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
                 ),
-                rep((d, a)), rep((1, a)),
-                rep((d, a)), rep((1, a)),
-                rep((d, a)), rep((1, a)),
-                rep((a, d)), rep((1, d)),
+                rep((num_heads, d, hd)), rep((num_heads, 1, hd)),
+                rep((num_heads, d, hd)), rep((num_heads, 1, hd)),
+                rep((num_heads, d, hd)), rep((num_heads, 1, hd)),
+                rep((num_heads, hd, d)), rep((1, d)),
                 rep((1, d)), rep((1, d)),
             ],
             out_specs=pl.BlockSpec(
@@ -210,16 +238,19 @@ def make_attention_block_pallas(num_heads: int, use_residual: bool):
             ),
         )(
             x32,
-            p["wq"].astype(jnp.float32), p["bq"].astype(jnp.float32).reshape(1, a),
-            p["wk"].astype(jnp.float32), p["bk"].astype(jnp.float32).reshape(1, a),
-            p["wv"].astype(jnp.float32), p["bv"].astype(jnp.float32).reshape(1, a),
-            p["wo"].astype(jnp.float32), p["bo"].astype(jnp.float32).reshape(1, d),
+            qkv(p["wq"]), bias(p["bq"]),
+            qkv(p["wk"]), bias(p["bk"]),
+            qkv(p["wv"]), bias(p["bv"]),
+            wo3, p["bo"].astype(jnp.float32).reshape(1, d),
             jnp.asarray(ls, jnp.float32).reshape(1, d),
             jnp.asarray(lb, jnp.float32).reshape(1, d),
         )
         if f != f_real:
             out = out[:, :f_real, :]
-        return out.astype(x.dtype)
+        # match the oracle's promotion semantics (bf16 x with f32 params
+        # -> f32), so the custom_vjp cotangent dtype is consistent with
+        # jax.vjp(oracle) in the backward
+        return out.astype(jnp.result_type(x.dtype, p["wq"].dtype))
 
     @jax.custom_vjp
     def attn_block(x, p):

@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepfm_tpu.ops.cin import cin_layer_sizes
 
-CH = 8  # hidden-row chunk: sublane-aligned for f32
+# Hidden-row chunk (sublane-aligned for f32). CH=16 was A/B'd on
+# hardware and measured WORSE (302k vs 352k ex/s xDeepFM step): the
+# doubled matmul K does not pay for the doubled chunk scratch.
+CH = 8
 # Separate headroom per direction (16 MB physical scoped vmem): the
 # forward's accounting leaves slack for pipelining; the backward is a
 # single big kernel and is allowed to run right up against the limit.

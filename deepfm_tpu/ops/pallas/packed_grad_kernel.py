@@ -254,13 +254,15 @@ def make_packed_lookup(dcol: int, pack: int, fwd_mode: str = "window"):
     Tables >= 2^24 logical rows fall back to an XLA gather/scatter pair
     on a reshaped logical view.
 
-    Forward modes:
+    Forward modes (A/B'd on v5e, scripts/bench_packed_fwd.py, 442k ids
+    at the 10.4M-logical-row scale):
       "window" — gather whole physical rows (n, 128) then extract each
-        id's lane window with ``pack`` masked selects. The extraction
-        re-reads the gathered rows per select (~7x the window bytes).
+        id's lane window with ``pack`` masked selects. 2.2 ms — the
+        XLA gather engine loves the aligned 512-byte rows. DEFAULT.
       "flat"   — one gather of dcol-element contiguous slices from the
-        flat (phys·128,) view at offset ``(id//pack)·128 +
-        (id%pack)·dcol``. Same row-latency count, 1/pack the bytes.
+        flat (phys·128,) view. Moves 1/pack the bytes but measures
+        40.5 ms: XLA lowers the unaligned 68-byte slice gather to a
+        serial path. Kept as a documented negative result.
     """
 
     @jax.custom_vjp
