@@ -29,6 +29,12 @@ the weight matrix is passed pre-chunked as (n_chunks, M, CH·F) so the
 kernel indexes chunks on an untiled leading axis — no mid-lane slicing.
 Hidden height is zero-padded to a multiple of CH (zero rows × zero
 weight columns contribute nothing).
+
+Remat-vs-stash, measured: saving the forward activations to HBM in the
+forward (268 MB at Criteo scale) and reading them back in the backward
+instead of recomputing was A/B'd on hardware and LOST — 303k vs 353k
+ex/s xDeepFM step. In-VMEM recompute is cheaper than the HBM round
+trip; the remat design stays.
 """
 
 from __future__ import annotations
