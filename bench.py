@@ -14,8 +14,15 @@ implemented in bench_baseline_torch.py, run on this host's CPU (the
 reference targets CPU/MPS eager PyTorch; reference deepfm/cli.py:16-25).
 All three models are normalized against that one baseline — the
 reference's own xDeepFM/AttentionDeepFM steps are strictly slower than
-its DeepFM, so the ratio is conservative for them. Pass --no-baseline to
-reuse the last cached baseline value.
+its DeepFM, so the ratio is conservative for them.
+
+The baseline is PINNED: .bench_baseline.json (committed) carries one
+measured value plus its environment (thread count, torch version, date).
+Re-measuring every round on this shared, cgroup-limited host produced
+incomparable denominators (1,088 -> 2,365 -> 4,562 ex/s across rounds-1/2
+as the visible-CPU allotment changed); pass --remeasure-baseline only to
+refresh the pin deliberately, on a quiet host, with the pinned thread
+count.
 """
 
 from __future__ import annotations
@@ -124,20 +131,40 @@ def bench_tpu(model_name: str) -> float:
     return BATCH * STEPS / dt
 
 
+BASELINE_THREADS = 1  # pinned: cgroup allots 1 CPU on this host
+
+
 def bench_torch_baseline() -> float | None:
     try:
+        import torch
+
+        torch.set_num_threads(BASELINE_THREADS)
         from bench_baseline_torch import measure
 
-        return measure(
+        value = measure(
             batch=BATCH, num_fields=NUM_FIELDS, vocab=VOCAB, steps=3
         )
+        BASELINE_CACHE.write_text(json.dumps({
+            "baseline": value,
+            "provenance": {
+                "torch_threads": BASELINE_THREADS,
+                "torch": torch.__version__,
+                "measured": time.strftime("%Y-%m-%d"),
+                "note": "eager torch DeepFM train step, this host's "
+                        "cgroup-limited CPU (bench_baseline_torch.py)",
+            },
+        }, indent=1))
+        return value
     except Exception:
         return None
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--no-baseline", action="store_true")
+    parser.add_argument(
+        "--remeasure-baseline", action="store_true",
+        help="refresh the pinned torch-CPU baseline (quiet host only)",
+    )
     parser.add_argument(
         "--models",
         default=",".join(MODELS),
@@ -149,10 +176,8 @@ def main() -> None:
     values = {name: bench_tpu(name) for name in models}
 
     baseline = None
-    if not args.no_baseline:
+    if args.remeasure_baseline:
         baseline = bench_torch_baseline()
-        if baseline:
-            BASELINE_CACHE.write_text(json.dumps({"baseline": baseline}))
     if baseline is None and BASELINE_CACHE.exists():
         baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
 

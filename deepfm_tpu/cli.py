@@ -63,18 +63,31 @@ def maybe_init_multihost(config: ExperimentConfig) -> bool:
     """Initialize the multi-host runtime when mesh.multihost is set.
 
     Must precede every other JAX call on each host of the slice. Returns
-    True when jax.distributed actually initialized; warns and returns
-    False when no coordinator is configured (single-process fallback).
+    True when jax.distributed actually initialized. When no coordinator
+    can be found — env vars absent AND the probing
+    jax.distributed.initialize() attempt (which covers Cloud TPU pods'
+    metadata-server discovery) failed — the default is a hard error:
+    N processes silently running independent single-host trainings into
+    the same output_dir is worse than stopping. Set
+    mesh.allow_single_process=true to opt into the warn-and-continue
+    fallback.
     """
     if not config.mesh.multihost:
         return False
     from deepfm_tpu.parallel.mesh import initialize_distributed
 
-    if initialize_distributed():
+    if initialize_distributed(probe=True):
         return True
+    if not config.mesh.allow_single_process:
+        raise RuntimeError(
+            "mesh.multihost=true but no coordinator could be found (no "
+            "coordinator env vars; jax.distributed.initialize() probe "
+            "failed). Refusing the silent single-process fallback — set "
+            "mesh.allow_single_process=true to run anyway."
+        )
     get_logger("deepfm_tpu").warning(
         "mesh.multihost=true but no coordinator is configured; "
-        "running single-process"
+        "running single-process (mesh.allow_single_process=true)"
     )
     return False
 

@@ -120,6 +120,13 @@ class MeshConfig:
     # before any other JAX use (auto-discovers the coordinator on TPU
     # pods). The mesh then spans all chips of all hosts.
     multihost: bool = False
+    # With multihost=true but no coordinator discoverable (no env vars,
+    # and the probing jax.distributed.initialize() attempt failed), the
+    # default is a hard error: N processes silently training
+    # independently into the same output_dir is the failure mode this
+    # guards. Set true to permit the single-process fallback (a warning
+    # is still logged).
+    allow_single_process: bool = False
     # Multi-slice (DCN) topology: number of TPU slices the mesh spans.
     # The model axis stays inside one slice (ICI); DCN carries only the
     # outer factor of the data axis. 1 = single slice.

@@ -25,16 +25,15 @@ def resolve_table_layout(config: ExperimentConfig) -> bool:
     Backend is consulted ONLY for "auto"; "packed"/"logical" are honored
     on every backend, so a config fully determines the parameter tree
     (checkpoint metadata + utils/layout.py cover the "auto" case across
-    backends). lazy_adam forces the logical layout — its row-sparse
-    update addresses logical rows.
+    backends). lazy_adam composes with BOTH layouts: on packed tables
+    its row-sparse update addresses physical rows (see
+    training/sparse_opt.py::table_ids_for_batch).
     """
     layout = config.pallas.table_layout
     if layout not in ("auto", "packed", "logical"):
         raise ConfigError(
             f"pallas.table_layout must be auto|packed|logical, got {layout!r}"
         )
-    if config.training.optimizer == "lazy_adam":
-        return False
     if layout == "auto":
         import jax
 

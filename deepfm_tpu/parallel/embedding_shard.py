@@ -327,7 +327,13 @@ def _densify_logical(ct, ids, num_rows):
     )
 
 
-def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
+def sparse_grad_exchange(
+    mesh: Mesh,
+    fwd_fn,
+    packed_geom=None,
+    routed: bool = False,
+    routed_capacity_factor: float = 1.5,
+):
     """Install the sparse data-axis gradient exchange as a lookup's vjp.
 
     ``fwd_fn(table, flat_ids) -> (n, dcol)`` is any forward above (its
@@ -336,6 +342,16 @@ def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
     numerically identical to autodiff through ``fwd_fn`` (duplicate ids
     sum deterministically; the densify kernel is exact to f32 working
     precision) — only the collective pattern changes.
+
+    ``routed=True`` (the all_to_all strategy's backward, mirroring its
+    forward): instead of all-gathering ALL (id, cotangent-row) pairs
+    over "data" (n·d bytes/device), each device first filters the pairs
+    its model column owns — free, because ids/cotangents are replicated
+    over "model" — compresses them into a static capacity bucket, and
+    all-gathers only those (~n·d·factor/m bytes/device). Pairs beyond
+    capacity trigger the exact full-gather fallback under a ``lax.cond``
+    (same overflow design as the routed forward), so the result is
+    exact for any id skew.
     """
     m = mesh.shape[AXIS_MODEL]
     dp = mesh.shape[AXIS_DATA]
@@ -382,17 +398,20 @@ def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
                     ct_all, ids_all, rows_per_shard, pack
                 )[:phys_per_shard]
 
-        if flat_ids.shape[0] % dp != 0:
-            # id stream doesn't split over the data axis (odd batch
-            # sizes): densify globally and let GSPMD place it — correct,
-            # just without the sparse-exchange saving.
-            if m > 1:
-                raise ValueError(
-                    f"flat id count {flat_ids.shape[0]} must divide the "
-                    f"data axis ({dp}) when tables are model-sharded"
-                )
-            dtable = densify(ct, flat_ids)
-            return dtable, np.zeros(flat_ids.shape, jax.dtypes.float0)
+        n_ids = flat_ids.shape[0]
+        exch_ids, exch_ct = flat_ids, ct
+        if n_ids % dp != 0:
+            # id stream doesn't split over the data axis (odd final
+            # partial batches): pad with id-0 / zero-cotangent entries.
+            # Row 0 is the OOV/padding row and a zero cotangent adds
+            # nothing to it, so the scatter-add is unaffected.
+            pad = (-n_ids) % dp
+            exch_ids = jnp.concatenate(
+                [flat_ids, jnp.zeros((pad,), flat_ids.dtype)]
+            )
+            exch_ct = jnp.concatenate(
+                [ct, jnp.zeros((pad, ct.shape[1]), ct.dtype)]
+            )
 
         def body(ids_loc, ct_loc):
             if dp > 1:
@@ -412,13 +431,64 @@ def sparse_grad_exchange(mesh: Mesh, fwd_fn, packed_geom=None):
                 ct_all = ct_all * ok[:, None].astype(ct_all.dtype)
             return densify(ct_all, ids_all)
 
-        dtable = shard_map(
+        full_exchange = partial(
+            shard_map,
             body,
             mesh=mesh,
             in_specs=(P(AXIS_DATA), P(AXIS_DATA, None)),
             out_specs=P(AXIS_MODEL, None) if m > 1 else P(),
             check_vma=False,
-        )(flat_ids, ct)
+        )
+
+        if routed and dp > 1 and m > 1:
+            n_loc = exch_ids.shape[0] // dp
+            cap = min(
+                n_loc,
+                max(8, int(routed_capacity_factor * -(-n_loc // m))),
+            )
+
+            def routed_body(ids_loc, ct_loc):
+                me = jax.lax.axis_index(AXIS_MODEL)
+                local = ids_loc - me * rows_per_shard
+                ok = (local >= 0) & (local < rows_per_shard)
+                order = jnp.argsort(jnp.logical_not(ok))  # owned first
+                ids_sorted = jnp.where(ok, local, 0)[order]
+                ct_sorted = (
+                    ct_loc * ok[:, None].astype(ct_loc.dtype)
+                )[order]
+                if cap < n_loc:
+                    ovf = jnp.any(ok[order][cap:])
+                else:
+                    ovf = jnp.zeros((), bool)
+                ovf = (
+                    jax.lax.psum(
+                        ovf.astype(jnp.int32), (AXIS_DATA, AXIS_MODEL)
+                    )
+                    > 0
+                )
+                ids_all = jax.lax.all_gather(
+                    ids_sorted[:cap], AXIS_DATA, axis=0, tiled=True
+                )
+                ct_all = jax.lax.all_gather(
+                    ct_sorted[:cap], AXIS_DATA, axis=0, tiled=True
+                )
+                return densify(ct_all, ids_all), ovf
+
+            dtable, ovf = shard_map(
+                routed_body,
+                mesh=mesh,
+                in_specs=(P(AXIS_DATA), P(AXIS_DATA, None)),
+                out_specs=(P(AXIS_MODEL, None), P()),
+                check_vma=False,
+            )(exch_ids, exch_ct)
+            dtable = jax.lax.cond(
+                ovf,
+                lambda ids, ct, _: full_exchange()(ids, ct),
+                lambda ids, ct, dt: dt,
+                exch_ids, exch_ct, dtable,
+            )
+        else:
+            dtable = full_exchange()(exch_ids, exch_ct)
         return dtable, np.zeros(flat_ids.shape, jax.dtypes.float0)
 
     lookup.defvjp(fwd, bwd)
@@ -446,7 +516,7 @@ def make_lookup_fn(mesh: Mesh | None, strategy: str = "psum"):
     if strategy == "psum":
         return sparse_grad_exchange(mesh, make_psum_lookup(mesh))
     if strategy == "all_to_all":
-        return sparse_grad_exchange(mesh, make_a2a_lookup(mesh))
+        return sparse_grad_exchange(mesh, make_a2a_lookup(mesh), routed=True)
     raise ValueError(f"Unknown embedding strategy: {strategy}")
 
 
@@ -476,6 +546,9 @@ def make_packed_lookup_factory(mesh: Mesh | None, strategy: str = "psum"):
             base = make_a2a_lookup_packed(mesh, dcol, pack)
         else:
             raise ValueError(f"Unknown embedding strategy: {strategy}")
-        return sparse_grad_exchange(mesh, base, packed_geom=(dcol, pack))
+        return sparse_grad_exchange(
+            mesh, base, packed_geom=(dcol, pack),
+            routed=(strategy == "all_to_all"),
+        )
 
     return factory

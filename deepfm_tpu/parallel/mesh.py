@@ -24,7 +24,7 @@ AXIS_DATA = "data"
 AXIS_MODEL = "model"
 
 
-def initialize_distributed(**kwargs) -> bool:
+def initialize_distributed(probe: bool = False, **kwargs) -> bool:
     """Initialize the multi-host JAX runtime (safe no-op single-process).
 
     Must run on every host of the slice BEFORE any other JAX call. On
@@ -36,13 +36,25 @@ def initialize_distributed(**kwargs) -> bool:
     Guard semantics: with no explicit coordinator arguments and no
     multi-process environment configured (no coordinator/cluster env
     vars, not on a TPU pod), calling ``jax.distributed.initialize()``
-    would hang waiting for a coordinator — so this returns False without
-    touching the runtime. Returns True when initialization ran.
+    would hang waiting for a coordinator — so by default this returns
+    False without touching the runtime. Real Cloud TPU pods, however,
+    discover the coordinator via the TPU metadata server with NONE of
+    the checked env vars set; ``probe=True`` (used when the user
+    explicitly requested multihost) therefore attempts
+    ``jax.distributed.initialize()`` anyway, bounded by a short
+    ``initialization_timeout``, and reports failure instead of hanging.
+    Returns True when initialization ran.
     """
     import os
 
     if not kwargs and not _multiprocess_env_configured(os.environ):
-        return False
+        if not probe:
+            return False
+        try:
+            jax.distributed.initialize(initialization_timeout=15)
+            return True
+        except Exception:  # no cluster detected / no coordinator answered
+            return False
     jax.distributed.initialize(**kwargs)
     return True
 

@@ -114,15 +114,32 @@ def lazy_adam_table_update(
     return table, new_state
 
 
-def table_ids_for_batch(packed, ids: jax.Array) -> dict[str, jax.Array]:
+def table_ids_for_batch(
+    packed, ids: jax.Array, packed_tables: bool = False
+) -> dict[str, jax.Array]:
     """Flat row-id streams per fused table for a packed (B, S) id batch.
 
     Row 0 duplicates across fields are harmless: their rows are all-zero
     with zero grads (forward mask), and the update leaves them at zero.
+
+    ``packed_tables=True`` returns PHYSICAL row ids for the packed
+    (phys, 128) storage layout (``pack = 128 // (width+1)`` logical rows
+    per physical row): the lazy update then operates at physical-row
+    granularity — each touched physical row updates all its resident
+    logical rows, the untouched neighbors seeing a zero-gradient Adam
+    step (momentum decay), exactly what dense Adam would do to them.
+    Lazy-at-physical-granularity therefore sits between logical lazy
+    Adam and dense Adam, and composes the O(touched-rows) optimizer with
+    the packed fast gathers.
     """
     out: dict[str, jax.Array] = {}
     for group in packed.lookup_groups:
         sl = ids[:, group.slot_start : group.slot_end]
         local = sl + jnp.asarray(group.local_offsets)[None, :]
-        out[f"table_w{group.width}"] = local.reshape(-1)
+        flat = local.reshape(-1)
+        if packed_tables:
+            pack = 128 // (group.width + 1)
+            if pack > 1:  # pack == 1 widths store logically either way
+                flat = flat // pack
+        out[f"table_w{group.width}"] = flat
     return out

@@ -62,21 +62,33 @@ def _use_fused_table_adam(config: ExperimentConfig, mesh=None) -> bool:
     """Fused Pallas Adam for the tables: one pass, buffers aliased in
     place (ops/pallas/adam_kernel.py). Exactly equivalent to the optax
     chain (parity-tested); TPU only — the interpret-mode kernel would
-    crawl on CPU. Disabled when the tables are row-sharded over a model
-    axis: GSPMD cannot partition the aliased custom call and would
-    all-gather the table around it; the masked optax Adam partitions
-    elementwise instead."""
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
-        return False
-    return (
+    crawl on CPU. Under a model-sharded mesh the kernel runs per shard
+    inside shard_map (GSPMD cannot partition the aliased custom call,
+    but shard_map partitions it manually — each shard updates its own
+    table slab in place, no table-sized collective); tables whose row
+    count does not divide the model axis fall back to masked optax
+    (checked against the real shapes in Trainer._init_state).
+
+    DEEPFM_TPU_FORCE_FUSED_ADAM=1 forces the kernel on any backend
+    (interpret mode off-TPU) — used by the multi-chip dry run and
+    parity tests to execute this exact code path on a CPU mesh."""
+    import os
+
+    if not (
         config.training.optimizer == "adam"
         and config.training.fused_table_adam
-        and jax.default_backend() == "tpu"
-    )
+    ):
+        return False
+    if os.environ.get("DEEPFM_TPU_FORCE_FUSED_ADAM") == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def build_optimizer(
-    config: ExperimentConfig, params: Any | None = None, mesh=None
+    config: ExperimentConfig,
+    params: Any | None = None,
+    mesh=None,
+    fused: bool | None = None,
 ) -> optax.GradientTransformation:
     """Optimizer chain: global-norm clip -> Adam/AdamW/SGD(momentum 0.9).
 
@@ -100,7 +112,8 @@ def build_optimizer(
     """
     tc = config.training
     lazy = tc.optimizer == "lazy_adam"
-    fused = _use_fused_table_adam(config, mesh)
+    if fused is None:
+        fused = _use_fused_table_adam(config, mesh)
     l2_reg = config.feature.embedding_l2_reg
 
     def emb_mask(params):
@@ -260,7 +273,23 @@ class Trainer:
             lambda key: self.model.init(key, ids, dense, train=False)
         )(init_key)
         params = variables["params"]
-        self.tx = build_optimizer(self.config, params, self.mesh)
+        if self.fused_tables and self.mesh is not None:
+            m = self.mesh.shape.get("model", 1)
+            if m > 1 and any(
+                p.shape[0] % m != 0
+                for name, p in params["embedding"].items()
+                if _is_table_name(name)
+            ):
+                # shard_map needs even row splits; masked optax handles
+                # the ragged case (GSPMD pads under the hood)
+                self.logger.warning(
+                    "fused table Adam disabled: table rows do not divide "
+                    "the model axis (%d)", m,
+                )
+                self.fused_tables = False
+        self.tx = build_optimizer(
+            self.config, params, self.mesh, fused=self.fused_tables
+        )
 
         def init_fn(params):
             opt_state = self.tx.init(params)
@@ -286,7 +315,20 @@ class Trainer:
             from deepfm_tpu.parallel.sharding import state_shardings
 
             shardings = state_shardings(self.mesh, state)
-            state = jax.device_put(state, shardings)
+            if jax.process_count() > 1:
+                # jit without a mesh produced process-local arrays; a
+                # committed local array can't be device_put across
+                # processes, so round-trip through the host (init is
+                # deterministic per seed, identical on every process)
+                state = jax.tree_util.tree_map(
+                    lambda x, s: jax.make_array_from_process_local_data(
+                        s, np.asarray(jax.device_get(x))
+                    ),
+                    state,
+                    shardings,
+                )
+            else:
+                state = jax.device_put(state, shardings)
         return state
 
     # ------------------------------------------------------------------
@@ -411,15 +453,49 @@ class Trainer:
                 new_params = optax.apply_updates(state.params, updates)
 
                 lr = state.opt_state.hyperparams["learning_rate"]
+                model_sharded = (
+                    self.mesh is not None
+                    and self.mesh.shape.get("model", 1) > 1
+                )
+                if model_sharded:
+                    # per-shard in-place slab update: shard_map partitions
+                    # the aliased custom call manually (GSPMD can't), so
+                    # the multi-chip path keeps the single-chip fusion
+                    # with NO table-sized collective
+                    try:
+                        from jax import shard_map
+                    except ImportError:  # pragma: no cover
+                        from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    def _sharded_adam(p, mu, nu, g, lr, gn, st):
+                        return fused_table_adam(
+                            p, mu, nu, g, lr, wd, gn, clip, st
+                        )
+
+                    def table_update(p, mu, nu, g):
+                        row = P("model", *([None] * (p.ndim - 1)))
+                        return shard_map(
+                            _sharded_adam,
+                            mesh=self.mesh,
+                            in_specs=(row,) * 4 + (P(),) * 3,
+                            out_specs=(row,) * 3,
+                            check_vma=False,
+                        )(p, mu, nu, g, lr, gnorm, state.step)
+                else:
+                    def table_update(p, mu, nu, g):
+                        return fused_table_adam(
+                            p, mu, nu, g, lr, wd, gnorm, clip, state.step
+                        )
+
                 new_emb = dict(new_params["embedding"])
                 new_table_opt = dict(state.table_opt)
                 for name, g in emb_grads.items():
                     if not _is_table_name(name):
                         continue
                     topt = state.table_opt[name]
-                    p2, mu2, nu2 = fused_table_adam(
-                        emb_params[name], topt.mu, topt.nu, g,
-                        lr, wd, gnorm, clip, state.step,
+                    p2, mu2, nu2 = table_update(
+                        emb_params[name], topt.mu, topt.nu, g
                     )
                     new_emb[name] = p2
                     new_table_opt[name] = type(topt)(mu=mu2, nu=nu2)
@@ -472,7 +548,9 @@ class Trainer:
             new_params = optax.apply_updates(state.params, updates)
 
             lr = state.opt_state.hyperparams["learning_rate"]
-            tids = table_ids_for_batch(packed, ids)
+            tids = table_ids_for_batch(
+                packed, ids, packed_tables=model.packed_tables
+            )
             new_emb = dict(new_params["embedding"])
             new_table_opt = dict(state.table_opt)
             for name, row_ids in tids.items():
@@ -522,6 +600,14 @@ class Trainer:
         from deepfm_tpu.parallel.sharding import batch_shardings
 
         shardings = batch_shardings(self.mesh, list(arrays))
+        if jax.process_count() > 1:
+            # every host builds the same dataset deterministically (same
+            # seed), so each process holds the FULL batch and extracts
+            # its addressable shards
+            return tuple(
+                jax.make_array_from_process_local_data(s, np.asarray(a))
+                for a, s in zip(arrays, shardings)
+            )
         return tuple(
             jax.device_put(a, s) for a, s in zip(arrays, shardings)
         )
@@ -847,6 +933,10 @@ class Trainer:
             )
             if len(cache) > 4:  # bound device memory
                 cache.pop(next(iter(cache)))
+        else:
+            # LRU, not FIFO: refresh on hit so the hottest entry (val,
+            # staged first and hit every epoch) isn't the first evicted.
+            cache[key] = cache.pop(key)
         # one dispatch per staged chunk (usually one) + ONE host fetch
         parts = [
             self._eval_scan(

@@ -22,7 +22,7 @@ COLLECTIVES = (
     "collective-permute",
 )
 
-_SHAPE_RE = re.compile(r"=\s*\(?([a-z0-9]+)\[([0-9,]*)\]")
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 
 def _match_collective(line: str):
@@ -40,22 +40,38 @@ def _match_collective(line: str):
     return None
 
 
-def op_output_bytes(line: str) -> int:
-    """Bytes of the (first) output shape on an HLO instruction line.
-
-    For async ``-start`` ops the first tuple element is the operand
-    alias, so async collectives report operand bytes rather than result
-    bytes — close enough for the traffic comparisons these feed (and
-    the CPU-mesh programs these parse emit sync collectives)."""
-    m = _SHAPE_RE.search(line)
-    if not m:
-        return 0
-    dtype, dims = m.groups()
+def _shape_bytes(dtype: str, dims: str) -> int:
     n = 1
     for d in dims.split(","):
         if d:
             n *= int(d)
     return n * DTYPE_BYTES.get(dtype, 4)
+
+
+def op_output_bytes(line: str) -> int:
+    """Bytes of the RESULT shape(s) on an HLO instruction line.
+
+    Parses only the region between ``=`` and the opcode call (operand
+    positions also print shapes in full HLO text). Handles the two
+    tuple-result cases TPU-compiled programs emit:
+
+      * async ``-start`` ops return ``(operand_alias, result, ...)`` —
+        the second tuple element is the result, the first is just an
+        alias of the input, so count element [1];
+      * tuple-returning sync ``all-to-all`` (one array per split
+        operand) — total traffic is the SUM of the tuple elements.
+    """
+    eq = line.find("=")
+    if eq < 0:
+        return 0
+    m_op = re.search(r"\s([a-z0-9\-]+)\(", line[eq:])
+    region = line[eq : eq + m_op.start()] if m_op else line[eq:]
+    shapes = _SHAPE_RE.findall(region)
+    if not shapes:
+        return 0
+    if "-start(" in line and len(shapes) >= 2:
+        return _shape_bytes(*shapes[1])
+    return sum(_shape_bytes(dt, dims) for dt, dims in shapes)
 
 
 def collective_inventory(hlo: str) -> dict:

@@ -166,11 +166,20 @@ def test_maybe_init_multihost(monkeypatch):
     on = dataclasses.replace(
         cfg, mesh=dataclasses.replace(cfg.mesh, multihost=True)
     )
-    # no coordinator configured -> guarded no-op with a warning
+    # no coordinator found (probe failed) -> HARD ERROR by default: N
+    # silent single-process trainings sharing an output_dir is the
+    # failure mode this guards (round-2 advisor finding)
     monkeypatch.setattr(
         mesh_mod, "initialize_distributed", lambda **kw: False
     )
-    assert maybe_init_multihost(on) is False
+    with pytest.raises(RuntimeError, match="allow_single_process"):
+        maybe_init_multihost(on)
+    # explicit opt-in -> warn-and-continue fallback
+    allowed = dataclasses.replace(
+        on,
+        mesh=dataclasses.replace(on.mesh, allow_single_process=True),
+    )
+    assert maybe_init_multihost(allowed) is False
     # coordinator present -> initialization runs
     monkeypatch.setattr(
         mesh_mod, "initialize_distributed", lambda **kw: True

@@ -1,0 +1,116 @@
+"""True multi-process jax.distributed test (round-2 verdict: multihost
+init had only monkeypatch coverage; this actually runs a 2-process
+coordinator + cross-process collectives).
+
+Two subprocesses each contribute 2 virtual CPU devices to one global
+(4, 1) mesh and execute a sharded DeepFM train step (gloo CPU
+collectives); the resulting parameters must match a single-process run
+of the identical step bit-near. Slow-marked: spawns processes and
+compiles in each.
+"""
+
+from __future__ import annotations
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+TESTS_DIR = Path(__file__).resolve().parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_reference():
+    import jax
+
+    from conftest import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 32, seed=5)
+    arr = pack_features(packed, feats, labels)
+    cfg = config_from_dict(
+        {
+            "output_dir": "/tmp/two_proc_ref",
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {"batch_size": 32, "optimizer": "sgd"},
+        }
+    )
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    ids, dense, lab, w = tr._put_batch(
+        arr.ids, arr.dense, arr.labels, np.ones((32,), np.float32)
+    )
+    state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+    flat = np.concatenate(
+        [
+            np.asarray(jax.device_get(leaf)).ravel()
+            for leaf in jax.tree_util.tree_leaves(
+                jax.device_get(state.params)
+            )
+        ]
+    )
+    return float(loss), flat
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    out = tmp_path / "proc0.npz"
+
+    procs = []
+    for pid in range(2):
+        env = {
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAX_PLATFORMS": "cpu",
+            # workers share the persistent compile cache
+            "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_deepfm",
+        }
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(TESTS_DIR / "two_process_worker.py"),
+                    str(pid), "2", coordinator, str(out),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                cwd=str(TESTS_DIR),
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log}"
+        assert f"worker {pid} OK" in log, log
+
+    got = np.load(out)
+    ref_loss, ref_params = _single_process_reference()
+    assert got["loss"] == pytest.approx(ref_loss, rel=1e-5)
+    np.testing.assert_allclose(
+        got["params"], ref_params, rtol=1e-5, atol=2e-5
+    )

@@ -76,14 +76,15 @@ def test_resolve_table_layout():
     assert resolve_table_layout(cfg) is True
     cfg = config_from_dict({"pallas": {"table_layout": "logical"}})
     assert resolve_table_layout(cfg) is False
-    # lazy_adam pins logical regardless of the requested layout
+    # lazy_adam composes with the packed layout (physical-row lazy
+    # updates, see sparse_opt.table_ids_for_batch) — no more coercion
     cfg = config_from_dict(
         {
             "pallas": {"table_layout": "packed"},
             "training": {"optimizer": "lazy_adam"},
         }
     )
-    assert resolve_table_layout(cfg) is False
+    assert resolve_table_layout(cfg) is True
     # auto follows the backend (CPU in tests)
     cfg = config_from_dict({})
     assert resolve_table_layout(cfg) is False

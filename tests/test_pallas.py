@@ -546,3 +546,91 @@ class TestFusedTableAdam:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
+
+    def test_trainer_fused_model_sharded_matches_dense(
+        self, tmp_path, monkeypatch
+    ):
+        """Fused table Adam on a (4, 2) model-sharded mesh: the kernel
+        runs per shard under shard_map (round-2 verdict: the multi-chip
+        path used to silently lose the fusion). Must match the masked
+        optax step, and the compiled step must not all-gather any table
+        around the aliased custom call."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from conftest import make_synth_batch, make_synth_schema
+
+        import deepfm_tpu.training.trainer as trainer_mod
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.models import create_model
+        from deepfm_tpu.parallel import build_mesh
+        from deepfm_tpu.training.trainer import Trainer
+
+        schema = make_synth_schema()
+        packed = pack_schema(schema)
+        feats, labels = make_synth_batch(schema, 32, seed=13)
+        arr = pack_features(packed, feats, labels)
+        mesh = build_mesh(4, 2)
+
+        def make_cfg():
+            return config_from_dict(
+                {
+                    "output_dir": str(tmp_path),
+                    "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                    "training": {
+                        "batch_size": 32, "num_epochs": 1,
+                        "scheduler": "none",
+                    },
+                }
+            )
+
+        def one_step(force_fused, want_hlo=False):
+            monkeypatch.setattr(
+                trainer_mod,
+                "_use_fused_table_adam",
+                lambda cfg, mesh=None: force_fused,
+            )
+            cfg = make_cfg()
+            model = create_model("deepfm", packed, cfg, mesh=mesh)
+            tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+            if force_fused:
+                assert tr.fused_tables, "table rows must divide the axis"
+            ids, dense, lab, w = tr._put_batch(
+                arr.ids, arr.dense, arr.labels,
+                np.ones((32,), np.float32),
+            )
+            hlo = None
+            if want_hlo:
+                hlo = (
+                    tr._train_step.lower(tr.state, ids, dense, lab, w)
+                    .compile()
+                    .as_text()
+                )
+            state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+            state, loss = tr._train_step(state, ids, dense, lab, w)
+            return float(loss), jax.device_get(state.params), hlo
+
+        loss_f, p_f, hlo = one_step(True, want_hlo=True)
+        loss_d, p_d, _ = one_step(False)
+        assert loss_f == pytest.approx(loss_d, rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_d)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+        from deepfm_tpu.utils.hlo import _match_collective, op_output_bytes
+
+        table_bytes = 130 * 17 * 4  # largest table, f32
+        big = [
+            line.strip()
+            for line in hlo.splitlines()
+            if (hit := _match_collective(line)) is not None
+            and hit[0] == "all-gather" and hit[1]
+            and op_output_bytes(line) >= table_bytes
+        ]
+        assert not big, (
+            f"table-sized all-gather around the fused Adam: {big}"
+        )

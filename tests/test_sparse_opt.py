@@ -156,3 +156,99 @@ def test_trainer_lazy_adam_learns(tmp_path):
         tab = np.asarray(p[f"table_w{g.width}"])
         for off in np.unique(g.local_offsets):
             assert abs(tab[off]).max() == 0.0
+
+
+def test_packed_lazy_adam_matches_logical(tmp_path):
+    """lazy_adam on PACKED tables (physical-row granularity): with the
+    same batch repeated, every physical row's touched set is identical
+    each step, so packed-lazy must track logical-lazy exactly — and the
+    OOV/padding logical rows must stay zero inside the packed layout.
+
+    l2 is set to 0 here: with l2 > 0 the packed variant lazily decays
+    whole physical rows (untouched neighbors included), which is
+    intentionally closer to dense Adam's every-row decay than to
+    logical-lazy — an expected, documented semantic difference, not a
+    bug (see table_ids_for_batch docstring)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from conftest import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+    from deepfm_tpu.utils.layout import unpack_table
+
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 32, seed=9)
+    arr = pack_features(packed, feats, labels)
+
+    def run(layout, init_emb=None):
+        from deepfm_tpu.utils.layout import pack_table
+
+        cfg = config_from_dict(
+            {
+                "output_dir": str(tmp_path / layout),
+                "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                "feature": {"embedding_l2_reg": 0.0},
+                "training": {
+                    "batch_size": 32,
+                    "optimizer": "lazy_adam",
+                    "scheduler": "none",
+                },
+                "pallas": {"table_layout": layout},
+            }
+        )
+        model = create_model("deepfm", packed, cfg)
+        assert model.packed_tables == (layout == "packed")
+        tr = Trainer(model, packed, cfg, arr, arr, arr)
+        if init_emb is not None:
+            # transplant the logical run's initial tables (init RNG draws
+            # differ across layouts; the comparison needs one start point)
+            emb = dict(tr.state.params["embedding"])
+            for g in packed.lookup_groups:
+                d = g.width
+                pk = 128 // (d + 1)
+                src = np.asarray(init_emb[f"table_w{d}"])
+                if pk > 1:
+                    phys = emb[f"table_w{d}"].shape[0]
+                    src = pack_table(src, d + 1, pk, phys)
+                emb[f"table_w{d}"] = jnp.asarray(src)
+            params = dict(tr.state.params)
+            params["embedding"] = {
+                k: emb.get(k, v)
+                for k, v in tr.state.params["embedding"].items()
+            }
+            tr.state = tr.state.replace(params=params)
+        ids, dense, lab, w = tr._put_batch(
+            arr.ids, arr.dense, arr.labels, np.ones((32,), np.float32)
+        )
+        # snapshot BEFORE stepping: _train_step donates the state
+        init_snapshot = jax.device_get(tr.state.params["embedding"])
+        state = tr.state
+        for _ in range(3):
+            state, loss = tr._train_step(state, ids, dense, lab, w)
+        preds = tr._eval_step(state.params, state.batch_stats, ids, dense)
+        return (
+            np.asarray(preds),
+            jax.device_get(state.params["embedding"]),
+            init_snapshot,
+        )
+
+    preds_l, emb_l, init_l = run("logical")
+    preds_p, emb_p, _ = run("packed", init_emb=init_l)
+    np.testing.assert_allclose(preds_p, preds_l, rtol=2e-5, atol=2e-6)
+
+    # layout-level parity of the trained tables + zero padding rows
+    for g in packed.lookup_groups:
+        d = g.width
+        pack = 128 // (d + 1)
+        tab_p = np.asarray(emb_p[f"table_w{d}"])
+        tab_l = np.asarray(emb_l[f"table_w{d}"])
+        if pack > 1:
+            tab_p = unpack_table(tab_p, d + 1, pack, tab_l.shape[0])
+        np.testing.assert_allclose(tab_p, tab_l, rtol=2e-5, atol=2e-6)
+        for off in np.unique(g.local_offsets):
+            assert abs(tab_p[off]).max() == 0.0

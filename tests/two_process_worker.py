@@ -1,0 +1,79 @@
+"""Worker for the true 2-process jax.distributed test (not a test file).
+
+Each process: initialize the distributed runtime against a local
+coordinator, contribute 2 virtual CPU devices to a global (4, 1) mesh,
+run ONE sharded DeepFM train step on deterministic synthetic data, and
+(process 0) dump the loss + flattened parameters for the parent test to
+compare against a single-process run.
+
+Usage: python two_process_worker.py <pid> <nproc> <coordinator> <out.npz>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+pid, nproc = int(sys.argv[1]), int(sys.argv[2])
+coordinator, out_path = sys.argv[3], sys.argv[4]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize(
+    coordinator_address=coordinator, num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np  # noqa: E402
+from conftest import make_synth_batch, make_synth_schema  # noqa: E402
+
+from deepfm_tpu.config import config_from_dict  # noqa: E402
+from deepfm_tpu.data.packing import pack_features, pack_schema  # noqa: E402
+from deepfm_tpu.models import create_model  # noqa: E402
+from deepfm_tpu.parallel import build_mesh  # noqa: E402
+from deepfm_tpu.training.trainer import Trainer  # noqa: E402
+
+schema = make_synth_schema()
+packed = pack_schema(schema)
+feats, labels = make_synth_batch(schema, 32, seed=5)
+arr = pack_features(packed, feats, labels)
+cfg = config_from_dict(
+    {
+        "output_dir": f"/tmp/two_proc_{pid}",
+        "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+        "training": {"batch_size": 32, "optimizer": "sgd"},
+    }
+)
+
+mesh = build_mesh(4, 1)  # spans both processes (2 local devices each)
+model = create_model("deepfm", packed, cfg, mesh=mesh)
+tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+ids, dense, lab, w = tr._put_batch(
+    arr.ids, arr.dense, arr.labels, np.ones((32,), np.float32)
+)
+state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+jax.block_until_ready(loss)
+
+if pid == 0:
+    # params are replicated on the (4,1) DP mesh -> fully addressable
+    flat = np.concatenate(
+        [
+            np.asarray(jax.device_get(leaf)).ravel()
+            for leaf in jax.tree_util.tree_leaves(
+                jax.device_get(state.params)
+            )
+        ]
+    )
+    np.savez(out_path, loss=float(loss), params=flat)
+print(f"worker {pid} OK loss={float(loss):.6f}", flush=True)
+jax.distributed.shutdown()
