@@ -254,6 +254,10 @@ def print_comparison_table(runs: list[dict]) -> None:
         eps_s = f"{eps:,.0f}" if isinstance(eps, (int, float)) else "-"
         eff = ti.get("scaling_efficiency")
         eff_s = f"{eff:.0%}" if isinstance(eff, (int, float)) else "-"
+        if ti.get("wall_clock_is_simulation_noise") and eff_s != "-":
+            # CPU-virtual-mesh wall clock: label so nobody mistakes the
+            # column for a hardware measurement
+            eff_s = f"~{eff_s}(sim)"
         print(
             str(run.get("run_id", "?"))[:w_run].ljust(w_run)
             + str(cfg.get("model_name", "?"))[:w_model].ljust(w_model)

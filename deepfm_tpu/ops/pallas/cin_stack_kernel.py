@@ -23,12 +23,23 @@ streams out per tile. Neither outer nor A ever touches HBM.
 
 VMEM discipline (the reason round 1's kernel fell back to the
 materializing path at Criteo field counts): the outer product is never
-built whole. Hidden rows are processed in chunks of CH=8 (sublane
-aligned), so live scratch is ``CH·F·D·TB`` instead of ``H·F·D·TB``, and
-the weight matrix is passed pre-chunked as (n_chunks, M, CH·F) so the
-kernel indexes chunks on an untiled leading axis — no mid-lane slicing.
-Hidden height is zero-padded to a multiple of CH (zero rows × zero
-weight columns contribute nothing).
+built whole — it is processed in chunks, with the weight matrix passed
+pre-chunked so the kernel indexes chunks on an untiled leading axis (no
+mid-lane slicing).
+
+Chunk axis (round-3 redesign): chunks run over FIELDS, with the weight
+columns re-laid out f-major (chunk c covers fields [c·CF, (c+1)·CF);
+column index inside a chunk = fl·H_pad + h). Round 2 chunked over
+HIDDEN rows (CH=8, h-major), which forced the dhid/dx0 group-sums to
+run as 0/1-selector matmuls with output heights 8 and F — padded to the
+MXU's 128-row tile, those selectors cost as many MXU passes as the real
+adjoint matmuls and capped the backward at ~45% MXU. F-major chunking
+makes the group boundaries fall on H_pad-row (sublane-aligned) block
+edges, so dhid/dx0 become cheap VPU broadcasts/row-reductions, and the
+per-layer chunk width CF = TARGET_K // H_pad keeps every matmul's
+contraction at K ≈ 256 — a multiple of the MXU tile (h-major's
+K = 8·27 = 216 padded to 256, wasting 15%). Measured: xDeepFM step
+336-352k -> 428k ex/s.
 
 Remat-vs-stash, measured: saving the forward activations to HBM in the
 forward (268 MB at Criteo scale) and reading them back in the backward
@@ -48,10 +59,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from deepfm_tpu.ops.cin import cin_layer_sizes
 
-# Hidden-row chunk (sublane-aligned for f32). CH=16 was A/B'd on
-# hardware and measured WORSE (302k vs 352k ex/s xDeepFM step): the
-# doubled matmul K does not pay for the doubled chunk scratch.
-CH = 8
+# Per-layer matmul contraction target: chunks of CF = TARGET_K // H_pad
+# fields give every compress/adjoint matmul K = CF·H_pad ≈ 256 — two
+# full MXU K-tiles, no padding waste.
+TARGET_K = 256
 # Separate headroom per direction (16 MB physical scoped vmem): the
 # forward's accounting leaves slack for pipelining; the backward is a
 # single big kernel and is allowed to run right up against the limit.
@@ -73,27 +84,37 @@ def _hidden_sizes(f, layer_sizes, split_half, next_sizes):
     return hs
 
 
-def _chunked_weights(weights, hidden_sizes, f):
-    """(M, H·F) weight -> (n_chunks, M, CH·F), zero-padding H to CH·k.
+def _layer_geom(f: int, h: int) -> tuple[int, int, int, int]:
+    """(h_pad, cf, f_pad, n_ch) for one layer's f-major chunk grid."""
+    hp = _pad_to(h, 8)  # sublane-aligned per-field block height
+    cf = max(1, TARGET_K // hp)
+    f_pad = _pad_to(f, cf)
+    return hp, cf, f_pad, f_pad // cf
 
-    Weight columns are h-major (index = h·F + f), so grouping CH
-    consecutive h-rows is a plain reshape after column padding.
+
+def _chunked_weights(weights, hidden_sizes, f):
+    """(M, H·F) h-major weight -> (n_chunks, M, CF·H_pad) f-major chunks.
+
+    Input column index = h·F + f_idx (reference Conv1d layout,
+    deepfm/models/layers/cin.py:84-91); chunk c's column fl·H_pad + h
+    maps to field c·CF + fl. Padded h rows / f fields get zero columns
+    (they multiply zero hidden/x0 rows, contributing nothing).
     """
     out = []
     for w, h in zip(weights, hidden_sizes):
         m = w.shape[0]
-        hp = _pad_to(h, CH)
-        if hp != h:
-            w = jnp.pad(w, ((0, 0), (0, (hp - h) * f)))
+        hp, cf, f_pad, n_ch = _layer_geom(f, h)
+        wf = w.reshape(m, h, f).transpose(0, 2, 1)  # (M, F, h)
+        wf = jnp.pad(wf, ((0, 0), (0, f_pad - f), (0, hp - h)))
         out.append(
-            w.reshape(m, hp // CH, CH * f).transpose(1, 0, 2)
+            wf.reshape(m, n_ch, cf * hp).transpose(1, 0, 2)
         )
     return out
 
 
 def _write_hidden(hid_scratch, hidden, hp):
     """Stage a layer's (h, d, tb) input hidden into the shared scratch,
-    zero-padded to hp rows (chunk grid)."""
+    zero-padded to hp rows (per-field block height)."""
     h = hidden.shape[0]
     hid_scratch[0:h] = hidden
     if hp > h:
@@ -102,19 +123,23 @@ def _write_hidden(hid_scratch, hidden, hp):
         )
 
 
-def _compress(w_ref_i, hid_scratch, x0b, n_ch, m, f, d, tb):
+def _compress(w_ref_i, hid_scratch, x0s, geom, m, d, tb):
     """pre-activation (M, D·TB) = Σ_chunks W_c @ outer_c.
 
-    fori_loop (not an unrolled python loop) so the (CH·F, D·TB) outer
-    chunk is allocated ONCE — Mosaic's stack allocator does not reuse
-    slots across unrolled iterations, which blew scoped vmem 2x at
-    Criteo shapes. hid_scratch's leading dim is untiled, so the dynamic
-    chunk slice is free.
+    outer_c rows are f-major: row fl·H_pad + h = x0[c·CF+fl] ⊙ hid[h].
+    fori_loop (not an unrolled python loop) so the (CF·H_pad, D·TB)
+    outer chunk is allocated ONCE — Mosaic's stack allocator does not
+    reuse slots across unrolled iterations, which blew scoped vmem 2x
+    at Criteo shapes. Both scratch leading dims are untiled, so the
+    dynamic chunk slices are free.
     """
+    hp, cf, _, n_ch = geom
+    d_tb = d * tb
 
     def body(c, acc):
-        blk = hid_scratch[pl.ds(c * CH, CH)].reshape(CH, 1, d * tb)
-        outer = (blk * x0b).reshape(CH * f, d * tb)
+        x0_blk = x0s[pl.ds(c * cf, cf)].reshape(cf, 1, d_tb)
+        hid_b = hid_scratch[0:hp].reshape(1, hp, d_tb)
+        outer = (x0_blk * hid_b).reshape(cf * hp, d_tb)
         return acc + jax.lax.dot_general(
             w_ref_i[c],
             outer,
@@ -123,7 +148,7 @@ def _compress(w_ref_i, hid_scratch, x0b, n_ch, m, f, d, tb):
         )
 
     return jax.lax.fori_loop(
-        0, n_ch, body, jnp.zeros((m, d * tb), jnp.float32)
+        0, n_ch, body, jnp.zeros((m, d_tb), jnp.float32)
     )
 
 
@@ -134,18 +159,27 @@ def _stack_kernel(x0_ref, *refs, layer_sizes, split_half, direct_sizes,
     b_refs = refs[n : 2 * n]
     out_ref = refs[2 * n]
     hid_scratch = refs[2 * n + 1]  # (H_max, d, tb) VMEM
+    x0_scratch = refs[2 * n + 2]  # (F_pad_max, d, tb) VMEM
     tb = x0_ref.shape[2]
+    hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
+
+    # x0 staged once, zero-padded to the widest layer's field grid
+    f_pad_max = x0_scratch.shape[0]
+    x0_scratch[0:f] = x0_ref[:]
+    if f_pad_max > f:
+        x0_scratch[f:f_pad_max] = jnp.zeros(
+            (f_pad_max - f, d, tb), jnp.float32
+        )
 
     # Pool each layer's direct maps IMMEDIATELY so only the running
     # hidden state stays live.
-    x0b = x0_ref[:].reshape(1, f, d * tb)
     hidden = x0_ref[:]
     col = 0
     for i, ls in enumerate(layer_sizes):
-        hp = _pad_to(hidden.shape[0], CH)
-        _write_hidden(hid_scratch, hidden, hp)
+        geom = _layer_geom(f, hs[i])
+        _write_hidden(hid_scratch, hidden, geom[0])
         pre = _compress(
-            w_refs[i], hid_scratch, x0b, hp // CH, ls, f, d, tb
+            w_refs[i], hid_scratch, x0_scratch, geom, ls, d, tb
         )
         comp = jnp.maximum(pre + b_refs[i][:], 0.0)  # (M, D·TB)
         if split_half and i < n - 1:
@@ -168,10 +202,12 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
     dw_refs = refs[2 * n + 1 : 3 * n + 1]
     db_refs = refs[3 * n + 1 : 4 * n + 1]
     hid_scratch = refs[4 * n + 1]   # (H_max, d, tb)
-    dhid_scratch = refs[4 * n + 2]  # (H_max, d, tb)
-    comps_scratch = refs[4 * n + 3]  # (Σ layer_sizes, d, tb)
+    comps_scratch = refs[4 * n + 2]  # (Σ layer_sizes, d, tb)
+    x0_scratch = refs[4 * n + 3]  # (F_pad_max, d, tb)
+    dx0_scratch = refs[4 * n + 4]  # (F_pad_max, d, tb)
     tb = x0_ref.shape[2]
     d_tb = d * tb
+    hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
 
     first = pl.program_id(0) == 0
     for i in range(n):
@@ -180,21 +216,13 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             db_refs[i][:] = jnp.zeros_like(db_refs[i])
             dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
 
-    x0b = x0_ref[:].reshape(1, f, d_tb)
-    # x0 rows tiled CH times: row r = h_local·F + f_idx holds x0[f_idx]
-    x0_tiled = pltpu.repeat(x0_ref[:].reshape(f, d_tb), CH, axis=0)
-    # Group-sum selectors. Splitting a_c's (CH·F) sublane dim back into
-    # (CH, F) is NOT tile-aligned (F is not a multiple of 8), and Mosaic
-    # miscompiles that relayout — so the f-sum (dhid) and h-sum (dx0)
-    # run as 0/1-selector matmuls on the MXU instead of reshapes.
-    row = jax.lax.broadcasted_iota(jnp.int32, (CH, CH * f), 1)
-    sel_h = (
-        row // f == jax.lax.broadcasted_iota(jnp.int32, (CH, CH * f), 0)
-    ).astype(jnp.float32)
-    row_f = jax.lax.broadcasted_iota(jnp.int32, (f, CH * f), 1)
-    sel_f = (
-        row_f % f == jax.lax.broadcasted_iota(jnp.int32, (f, CH * f), 0)
-    ).astype(jnp.float32)
+    f_pad_max = x0_scratch.shape[0]
+    x0_scratch[0:f] = x0_ref[:]
+    if f_pad_max > f:
+        x0_scratch[f:f_pad_max] = jnp.zeros(
+            (f_pad_max - f, d, tb), jnp.float32
+        )
+    dx0_scratch[:] = jnp.zeros((f_pad_max, d, tb), jnp.float32)
 
     comp_offs = []
     col = 0
@@ -205,10 +233,10 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
     # ---- recompute forward (remat) into comps_scratch ----------------
     hidden = x0_ref[:]
     for i, ls in enumerate(layer_sizes):
-        hp = _pad_to(hidden.shape[0], CH)
-        _write_hidden(hid_scratch, hidden, hp)
+        geom = _layer_geom(f, hs[i])
+        _write_hidden(hid_scratch, hidden, geom[0])
         pre = _compress(
-            w_refs[i], hid_scratch, x0b, hp // CH, ls, f, d, tb
+            w_refs[i], hid_scratch, x0_scratch, geom, ls, d, tb
         )
         comp = jnp.maximum(pre + b_refs[i][:], 0.0)  # (M, D·TB)
         comps_scratch[comp_offs[i] : comp_offs[i] + ls] = comp.reshape(
@@ -226,7 +254,6 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
         out_offsets.append(col)
         col += ds
 
-    dx0 = jnp.zeros((f, d_tb), jnp.float32)
     dhid_next = None  # cotangent of layer i+1's input hidden (h, D·TB)
     for i in reversed(range(n)):
         ds = direct_sizes[i]
@@ -249,7 +276,7 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
 
         db_refs[i][:] += jnp.sum(dcomp, axis=1, keepdims=True)
 
-        # stage this layer's input hidden into the chunk scratch
+        # stage this layer's input hidden into the per-field scratch
         if i == 0:
             hid_in = x0_ref[:]
             h_in = f
@@ -264,53 +291,50 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             hid_in = comps_scratch[
                 comp_offs[i - 1] : comp_offs[i - 1] + h_in
             ]
-        hp = _pad_to(h_in, CH)
+        hp, cf, _, n_ch = _layer_geom(f, h_in)
         _write_hidden(hid_scratch, hid_in, hp)
 
-        def body(c, dx0_acc, i=i, dcomp=dcomp):
-            blk = hid_scratch[pl.ds(c * CH, CH)].reshape(CH, 1, d_tb)
-            outer = (blk * x0b).reshape(CH * f, d_tb)
-            # dW_c (M, CH·F): contract the D·TB lanes
+        def body(c, dhid_acc, i=i, dcomp=dcomp, hp=hp, cf=cf):
+            x0_blk = x0_scratch[pl.ds(c * cf, cf)].reshape(cf, 1, d_tb)
+            hid_b = hid_scratch[0:hp].reshape(1, hp, d_tb)
+            outer = (x0_blk * hid_b).reshape(cf * hp, d_tb)
+            # dW_c (M, CF·H_pad): contract the D·TB lanes
             dw_refs[i][c] += jax.lax.dot_general(
                 dcomp,
                 outer,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # A_c (CH·F, D·TB): contract M
+            # A_c (CF·H_pad, D·TB): contract M
             a_c = jax.lax.dot_general(
                 w_refs[i][c],
                 dcomp,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # dhid_c[h] = Σ_f A_c[h·F+f]·x0[f]  (selector matmul)
-            dhid_c = jax.lax.dot_general(
-                sel_h,
-                a_c * x0_tiled,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dhid_scratch[pl.ds(c * CH, CH)] = dhid_c.reshape(CH, d, tb)
-            # dx0[f] += Σ_h A_c[h·F+f]·hid[h]
-            hid_exp = jnp.broadcast_to(blk, (CH, f, d_tb)).reshape(
-                CH * f, d_tb
-            )
-            return dx0_acc + jax.lax.dot_general(
-                sel_f,
-                a_c * hid_exp,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (F, D·TB)
+            # f-major blocks make both group-sums plain VPU reductions
+            # (round 2's h-major layout forced 0/1-selector MXU matmuls
+            # with 8- and F-row outputs padded to 128 — they cost as
+            # much as the real adjoint matmuls). Splitting cf·hp -> (cf,
+            # hp) is tile-safe: hp is a multiple of 8 by construction.
+            a3 = a_c.reshape(cf, hp, d_tb)
+            dhid_acc = dhid_acc + jnp.sum(a3 * x0_blk, axis=0)
+            rows = jnp.sum(a3 * hid_b, axis=1)  # (cf, d_tb)
+            dx0_scratch[pl.ds(c * cf, cf)] += rows.reshape(cf, d, tb)
+            return dhid_acc
 
-        dx0 = jax.lax.fori_loop(0, hp // CH, body, dx0)
-        dhid = dhid_scratch[0:h_in].reshape(h_in, d_tb)
+        dhid_acc = jax.lax.fori_loop(
+            0, n_ch, body, jnp.zeros((hp, d_tb), jnp.float32)
+        )
         if i == 0:
-            dx0 = dx0 + dhid  # hid_0 = x0
+            # hid_0 = x0: fold the first layer's dhid into dx0
+            # (leading-dim slice of the 3-D value — tiling lives on the
+            # last two dims, so [0:f] needs no relayout)
+            dx0_scratch[0:f] += dhid_acc.reshape(hp, d, tb)[0:f]
         else:
-            dhid_next = dhid
+            dhid_next = dhid_acc[0:h_in]  # h_in 8-aligned for i > 0
 
-    dx0_ref[:] = dx0.reshape(f, d, tb)
+    dx0_ref[:] = dx0_scratch[0:f]
 
 
 def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
@@ -318,35 +342,41 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
     """Largest batch tile (lane dim, multiple of 128) fitting VMEM.
 
     The accounting errs generous per buffer (Mosaic's stack allocator
-    does not perfectly reuse slots across the unrolled chunk loop — a
+    does not perfectly reuse slots across the unrolled layer loop — a
     first cut that assumed tight reuse OOM'd scoped vmem at Criteo
     shapes): chunk scratch is counted twice (product + its operand
     temp), io blocks double-buffered, accumulators separate.
     """
     hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
     output_dim = sum(direct_sizes)
+    geoms = [_layer_geom(f, h) for h in hs]
     w_elems = sum(
-        ls * (_pad_to(h, CH) * f + 1)
-        for ls, h in zip(layer_sizes, hs)
-    )
+        ls * g[3] * g[1] * g[0]
+        for ls, g in zip(layer_sizes, geoms)
+    ) + sum(layer_sizes)
     max_ls = max(layer_sizes)
-    max_h = max(_pad_to(h, CH) for h in hs)
+    max_h = max(g[0] for g in geoms)
+    max_k = max(g[1] * g[0] for g in geoms)
+    max_fp = max(g[2] for g in geoms)
     for tb in (512, 384, 256, 128):
         if b % tb != 0:
             continue
         per_ex = (
             2 * f * d           # x0 in block (double-buffered)
             + 2 * output_dim    # out / g block (double-buffered)
-            + 2 * CH * f * d    # outer/A chunk + broadcast temp
+            + 2 * max_k * d     # outer chunk + broadcast temp
             + max_ls * d        # live comp
             + max_h * d         # padded hidden copy
+            + max_fp * d        # x0 scratch (padded field grid)
         )
         if bwd:
             per_ex += (
                 sum(layer_sizes) * d  # all comps stay resident
                 + max_ls * d          # dcomp
-                + CH * f * d          # second chunk buffer
-                + 3 * f * d           # dx0 out block (x2) + accumulator
+                + 2 * max_k * d       # a_c + a3 reduction temp
+                + max_h * d           # dhid accumulator
+                + max_fp * d          # dx0 scratch
+                + 2 * f * d           # dx0 out block (double-buffered)
                 + output_dim          # g accounted once more
             )
         elems = per_ex * tb + 2 * w_elems + (w_elems if bwd else 0)
@@ -361,9 +391,13 @@ def make_cin_stack_pallas(layer_sizes, split_half):
     layer_sizes = tuple(layer_sizes)
     direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
     output_dim = sum(direct_sizes)
-    # row slices inside the kernels (g/out offsets, split routing) are
-    # sublane slices and must stay 8-aligned on real TPUs
-    aligned = all(ds % CH == 0 for ds in direct_sizes)
+    # row slices inside the kernels (g/out offsets, split routing,
+    # dhid handoff) are sublane slices and must stay 8-aligned on real
+    # TPUs; layer-0's f-sized handoff avoids slicing by construction
+    aligned = all(ds % 8 == 0 for ds in direct_sizes) and all(
+        (next_sizes[i] if split_half else layer_sizes[i]) % 8 == 0
+        for i in range(len(layer_sizes) - 1)
+    )
 
     def oracle(x0, weights, biases):
         from deepfm_tpu.ops.cin import cin_compress
@@ -436,7 +470,9 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             )
             args.append(biases[i].astype(jnp.float32).reshape(-1, 1))
 
-        h_max = max(_pad_to(h, CH) for h in hs)
+        geoms = [_layer_geom(f, h) for h in hs]
+        h_max = max(g[0] for g in geoms)
+        f_pad_max = max(g[2] for g in geoms)
         out_t = pl.pallas_call(
             kernel,
             grid=(bsz // tb,),
@@ -445,7 +481,10 @@ def make_cin_stack_pallas(layer_sizes, split_half):
                 (output_dim, tb), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((output_dim, bsz), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((h_max, d, tb), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((h_max, d, tb), jnp.float32),
+                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
+            ],
             interpret=jax.default_backend() == "cpu",
             cost_estimate=pl.CostEstimate(
                 flops=_flops(bsz, f, d),
@@ -511,7 +550,9 @@ def make_cin_stack_pallas(layer_sizes, split_half):
                              memory_space=pltpu.VMEM)
             )
 
-        h_max = max(_pad_to(h, CH) for h in hs)
+        geoms = [_layer_geom(f, h) for h in hs]
+        h_max = max(g[0] for g in geoms)
+        f_pad_max = max(g[2] for g in geoms)
         outs = pl.pallas_call(
             kernel,
             grid=(bsz // tb,),
@@ -520,8 +561,9 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             out_shape=out_shapes,
             scratch_shapes=[
                 pltpu.VMEM((h_max, d, tb), jnp.float32),
-                pltpu.VMEM((h_max, d, tb), jnp.float32),
                 pltpu.VMEM((sum(layer_sizes), d, tb), jnp.float32),
+                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
+                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
             ],
             interpret=jax.default_backend() == "cpu",
             cost_estimate=pl.CostEstimate(
@@ -534,9 +576,15 @@ def make_cin_stack_pallas(layer_sizes, split_half):
         dx0 = jnp.transpose(outs[0], (2, 0, 1)).astype(x0.dtype)
         dws, dbs = [], []
         for i, (w, h) in enumerate(zip(weights, hs)):
-            dw3 = outs[1 + i]  # (n_ch, M, CH·F)
+            dw3 = outs[1 + i]  # (n_ch, M, CF·H_pad) f-major chunks
             m = w.shape[0]
-            dw = dw3.transpose(1, 0, 2).reshape(m, -1)[:, : h * f]
+            hp, cf, f_pad, n_ch = _layer_geom(f, h)
+            dw = (
+                dw3.transpose(1, 0, 2)        # (M, n_ch, CF·H_pad)
+                .reshape(m, f_pad, hp)[:, :f, :h]  # drop padding
+                .transpose(0, 2, 1)           # back to h-major
+                .reshape(m, h * f)
+            )
             dws.append(dw.astype(w.dtype))
             dbs.append(
                 outs[1 + len(weights) + i][:, 0].astype(biases[i].dtype)

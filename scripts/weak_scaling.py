@@ -180,6 +180,14 @@ def main() -> None:
                     "examples_per_sec_per_device": r["examples_per_sec"]
                     / r["devices"],
                     "scaling_efficiency": eff,
+                    # honesty flag (round-2 verdict): on the CPU virtual
+                    # mesh the devices share the same cores, so the
+                    # wall-clock columns above are SIMULATION NOISE —
+                    # the collective byte counts are the measurement.
+                    # See outputs/analytic_scaling/ for the predicted
+                    # hardware efficiency derived from them.
+                    "wall_clock_is_simulation_noise": args.platform
+                    == "cpu",
                     "num_devices": r["devices"],
                     "mesh": r["mesh"],
                     "platform": args.platform,
