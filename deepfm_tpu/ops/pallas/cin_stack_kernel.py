@@ -38,8 +38,8 @@ makes the group boundaries fall on H_pad-row (sublane-aligned) block
 edges, so dhid/dx0 become cheap VPU broadcasts/row-reductions, and the
 per-layer chunk width CF = TARGET_K // H_pad keeps every matmul's
 contraction at K ≈ 256 — a multiple of the MXU tile (h-major's
-K = 8·27 = 216 padded to 256, wasting 15%). Measured: xDeepFM step
-336-352k -> 428k ex/s.
+K = 8·27 = 216 padded to 256, wasting 15%). Measured numbers live in
+RESULTS.md (round-3 bench).
 
 Remat-vs-stash, measured: saving the forward activations to HBM in the
 forward (268 MB at Criteo scale) and reading them back in the backward

@@ -119,20 +119,27 @@ def test_train_step_kernel_vs_xla_lookup(tpu):
         )
 
 
-def test_cin_stack_backward_criteo_shape(tpu):
+@pytest.mark.parametrize(
+    "layers,split",
+    [
+        ((128, 128), True),       # flagship bench geometry
+        ((64,), False),           # xdeepfm_movielens config
+        ((128, 128, 64), True),   # cin_tuned config (3 layers)
+    ],
+)
+def test_cin_stack_backward_criteo_shape(tpu, layers, split):
     """F=27 (729/1728 input channels): the fused stack BACKWARD kernel
-    (chunked outer products, selector matmuls — see
-    mosaic sublane-split note in cin_stack_kernel.py) must match the
-    XLA adjoints on hardware at the rel-L2 level. Element-wise max
-    comparisons are meaningless here: MXU bf16 quantization flips ReLU
-    boundary masks between the two computations."""
+    (f-major chunked outer products — see cin_stack_kernel.py) must
+    match the XLA adjoints on hardware at the rel-L2 level, across the
+    shipped layer geometries. Element-wise max comparisons are
+    meaningless here: MXU bf16 quantization flips ReLU boundary masks
+    between the two computations."""
     import jax
     import jax.numpy as jnp
 
     from deepfm_tpu.ops.cin import cin_compress, cin_layer_sizes
     from deepfm_tpu.ops.pallas.cin_stack_kernel import make_cin_stack_pallas
 
-    layers, split = (128, 128), True
     f, d, b = 27, 16, 2048
     ds_, ns_ = cin_layer_sizes(layers, split)
     rng = np.random.default_rng(2)
