@@ -280,3 +280,32 @@ class TestAttention:
         v = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(v, x).shape == (2, 4, 8)
         assert len(v["params"]) == 3  # block_0..2
+
+    def test_small_f_vpu_form_matches_einsum_form(self):
+        """The small-F broadcast-reduction score/context form (f*f <=
+        4096) and the large-F einsum form are the same math: run one
+        input through a small-F model and a >64-field model against a
+        manual einsum oracle each."""
+        rng = np.random.default_rng(4)
+        for f in (12, 70):  # 12 -> VPU branch, 70 -> einsum branch
+            d, h, a = 8, 2, 8
+            m = MultiHeadSelfAttention(
+                embed_dim=d, num_heads=h, attention_dim=a,
+                use_residual=False,
+            )
+            x = jnp.asarray(rng.normal(size=(3, f, d)).astype(np.float32))
+            v = m.init(jax.random.PRNGKey(1), x)
+            got = np.asarray(m.apply(v, x))
+
+            p = v["params"]["block_0"]
+            hd = a // h
+            q = (x.reshape(3 * f, d) @ p["wq"] + p["bq"]).reshape(3, f, h, hd)
+            k = (x.reshape(3 * f, d) @ p["wk"] + p["bk"]).reshape(3, f, h, hd)
+            vv = (x.reshape(3 * f, d) @ p["wv"] + p["bv"]).reshape(3, f, h, hd)
+            s = jnp.einsum("bihd,bjhd->bhij", q, k) / np.sqrt(hd)
+            w = jax.nn.softmax(s, axis=-1)
+            ctx = jnp.einsum("bhij,bjhd->bihd", w, vv).reshape(3 * f, a)
+            want = np.asarray(
+                (ctx @ p["wo"] + p["bo"]).reshape(3, f, d)
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
