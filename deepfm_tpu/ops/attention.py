@@ -72,29 +72,17 @@ class AttentionBlock(nn.Module):
             b, f, self.num_heads, head_dim
         )
         scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, cdt))
-        if f * f <= 4096:
-            # Small field counts: the einsum forms are B·H separate
-            # (F, hd) @ (hd, F) batched matmuls — 65k 27x16x27 products
-            # at bench scale, far too small to fill the 128x128 MXU
-            # (profiled: the attention tower cost ~41 ms/step of
-            # mostly-idle MXU passes). The broadcast-multiply +
-            # reduction form keeps the same math (B·F²·A MACs, well
-            # under a millisecond of VPU work) in plain elementwise
-            # fusions, with scores laid out (B, i, j, H) so no
-            # transposes materialize.
-            scores = (
-                jnp.sum(q[:, :, None] * k[:, None], axis=-1) * scale
-            )  # (B, i, j, H)
-            weights = jax.nn.softmax(scores, axis=2)
-            ctx = jnp.sum(
-                weights[..., None] * v[:, None], axis=2
-            ).reshape(b * f, a)  # (B, i, H, hd) flattened
-        else:
-            scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
-            weights = jax.nn.softmax(scores, axis=-1)
-            ctx = jnp.einsum("bhij,bjhd->bihd", weights, v).reshape(
-                b * f, a
-            )
+        # NOTE (round-3 negative result, measured on v5e at F=27): a
+        # broadcast-multiply + reduction formulation of the two einsums
+        # (avoiding the B·H tiny 27x16x27 batched matmuls) profiled
+        # WORSE end to end — 80.5 ms/step vs 69 ms — because XLA
+        # materializes the (B, F, F, H) f32 score tensors plus ~6 ms of
+        # layout copies around the 4-D broadcasts. The einsum form
+        # stays; the attention tower's cost at CTR field counts is
+        # layout/copy-bound, not MXU-bound (see RESULTS.md).
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+        weights = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhij,bjhd->bihd", weights, v).reshape(b * f, a)
         out = (ctx @ p["wo"].astype(cdt) + p["bo"].astype(cdt)).reshape(
             b, f, d
         )

@@ -252,15 +252,15 @@ class FeatureEmbedding(nn.Module):
                 )
                 b, s = local.shape
                 rows = factory(d + 1, pack)(table, local.reshape(-1))
-                if rows.dtype != cdt:
-                    # pin the row gather + window extract in f32 and
-                    # convert the (n, d+1) block AFTERWARDS: letting XLA
-                    # fuse the convert into the gather makes the gather
-                    # emit bf16 (2,1)-packed tiles, which interleaves
-                    # source rows per sublane and costs ~1.2 ms/step at
-                    # bench scale (profiled round 3: 3.46 ms fused vs
-                    # 2.2 ms for the bare f32 gather)
-                    rows = jax.lax.optimization_barrier(rows)
+                # NOTE (round-3 measured negative result): pinning the
+                # gather in f32 with an optimization_barrier and
+                # converting the (n, d+1) block afterwards measured
+                # ~1.2 ms SLOWER than letting XLA fuse the bf16 convert
+                # into the gather (chained-scan microbench,
+                # scripts/bench_step_passes.py) — the convert-in-gather
+                # halves the gather's HBM write bytes, which beats the
+                # hypothesized (2,1)-tile packing penalty. Keep the
+                # plain form.
                 raw = rows.reshape(b, s, d + 1).astype(cdt)
             else:
                 rows_padded = pad_rows(group.total_rows)

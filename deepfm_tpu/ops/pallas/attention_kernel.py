@@ -39,20 +39,12 @@ def _block_oracle(x, p, num_heads, use_residual):
     k = proj(p["wk"], p["bk"]).reshape(b, f, num_heads, hd)
     v = proj(p["wv"], p["bv"]).reshape(b, f, num_heads, hd)
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, x.dtype))
-    if f * f <= 4096:
-        # broadcast-multiply + reduction instead of B·H tiny batched
-        # matmuls (same rationale/layout as ops/attention.py: at CTR
-        # field counts the (F, hd) @ (hd, F) products are far too small
-        # to fill the MXU; the VPU form is one elementwise fusion)
-        scores = jnp.sum(q[:, :, None] * k[:, None], axis=-1) * scale
-        w = jax.nn.softmax(scores, axis=2)  # (B, i, j, H)
-        ctx = jnp.sum(w[..., None] * v[:, None], axis=2).reshape(
-            b * f, a
-        )
-    else:
-        scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
-        w = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhij,bjhd->bihd", w, v).reshape(b * f, a)
+    # einsum form deliberately (round-3 measured negative result: the
+    # broadcast-reduce alternative was slower end to end — see
+    # ops/attention.py)
+    scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhij,bjhd->bihd", w, v).reshape(b * f, a)
     out = (ctx @ p["wo"] + p["bo"]).reshape(b, f, d)
     if use_residual:
         y = out + x

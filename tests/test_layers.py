@@ -281,13 +281,11 @@ class TestAttention:
         assert m.apply(v, x).shape == (2, 4, 8)
         assert len(v["params"]) == 3  # block_0..2
 
-    def test_small_f_vpu_form_matches_einsum_form(self):
-        """The small-F broadcast-reduction score/context form (f*f <=
-        4096) and the large-F einsum form are the same math: run one
-        input through a small-F model and a >64-field model against a
-        manual einsum oracle each."""
+    def test_attention_block_matches_manual_einsum(self):
+        """The block (einsum formulation) against a hand-written
+        einsum oracle at two field counts."""
         rng = np.random.default_rng(4)
-        for f in (12, 70):  # 12 -> VPU branch, 70 -> einsum branch
+        for f in (12, 70):
             d, h, a = 8, 2, 8
             m = MultiHeadSelfAttention(
                 embed_dim=d, num_heads=h, attention_dim=a,
