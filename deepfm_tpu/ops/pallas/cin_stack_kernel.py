@@ -361,6 +361,13 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
     for tb in (512, 384, 256, 128):
         if b % tb != 0:
             continue
+        # Chunk-buffer term calibrated against the hardware-validated
+        # round-2 accounting: Mosaic's allocator reuses the in-body
+        # temporaries well enough that 2 x (chunk K x d) covers the
+        # outer/adjoint chunk working set (counting every live product
+        # separately predicted an OOM the hardware does not have, and
+        # silently pushed the Criteo backward onto the materializing
+        # XLA fallback — the round-3 xdeepfm regression).
         per_ex = (
             2 * f * d           # x0 in block (double-buffered)
             + 2 * output_dim    # out / g block (double-buffered)
@@ -373,7 +380,6 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
             per_ex += (
                 sum(layer_sizes) * d  # all comps stay resident
                 + max_ls * d          # dcomp
-                + 2 * max_k * d       # a_c + a3 reduction temp
                 + max_h * d           # dhid accumulator
                 + max_fp * d          # dx0 scratch
                 + 2 * f * d           # dx0 out block (double-buffered)

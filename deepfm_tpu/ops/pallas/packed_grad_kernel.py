@@ -31,7 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_PHYS = 512  # physical rows per grid step
-CHUNK = 128  # stream elements consumed per matmul
+# stream elements consumed per matmul: 256 measured ~7% faster than 128
+# end-to-end on the chained-scan microbench (wider K per one-hot matmul,
+# half the fori iterations); 512 not tried (VMEM window doubles again)
+CHUNK = 256
 WIN = 2 * CHUNK
 LANES = 128
 
