@@ -27,10 +27,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_oracle(x, p, num_heads, use_residual):
-    """jnp reference of one attention block (same math as ops/attention.py)."""
+    """jnp reference of one attention block (same math as ops/attention.py).
+
+    Params are cast to the input's compute dtype FIRST — matching the
+    module's jnp path. Round-3 find: without the cast, ``x(bf16) @
+    w(f32)`` promotes the ENTIRE attention tower (q/k/v, scores,
+    softmax, context, and all their adjoints) to f32 — and since this
+    oracle serves as the F>16 fallback AND the backward recompute
+    target, the flagship F=27 model was paying 2x bytes on every
+    attention tensor.
+    """
     b, f, d = x.shape
     a = p["wq"].shape[1]
     hd = a // num_heads
+    p = {k: v.astype(x.dtype) for k, v in p.items()}
 
     def proj(w, bias):
         return x.reshape(b * f, d) @ w + bias
