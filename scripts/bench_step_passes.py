@@ -38,16 +38,48 @@ VOCAB = 400_000 * F
 PHYS = -(-(-(-VOCAB // PACK)) // 128) * 128
 
 
-def timeit(fn, *args, iters=10, warmup=2):
+def timeit(fn, *args, iters=10, warmup=1):
+    """Time fn via ONE lax.scan dispatch of `iters` chained iterations.
+
+    Per-call dispatches ride the relay (~4-8 ms each) and swamp
+    millisecond-scale passes; the scan amortizes one dispatch. The
+    first operand is perturbed through an optimization_barrier'd carry
+    so XLA cannot hoist the body out of the loop, and the run ends with
+    a host readback (block_until_ready alone under-reports here).
+    """
+
+    # perturb the cheapest-to-touch operand (the 1-D id stream when
+    # present): adding the bump to a giant table would itself cost a
+    # full memory pass per iteration
+    idx = 0
+    for i, a in enumerate(args):
+        if jnp.issubdtype(a.dtype, jnp.integer):
+            idx = i
+            break
+
+    @jax.jit
+    def run(args):
+        def body(carry, _):
+            bump = jnp.minimum(
+                jax.lax.optimization_barrier(carry), 0
+            ).astype(args[idx].dtype)
+            it_args = tuple(
+                a + bump if i == idx else a for i, a in enumerate(args)
+            )
+            out = fn(*it_args)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            new_carry = jnp.abs(leaf.reshape(-1)[0]).astype(jnp.int32)
+            return new_carry, ()
+
+        carry, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), None, length=iters
+        )
+        return carry
+
     for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        _ = run(args).item()  # compile + warm, full sync
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    # force real execution through a host readback
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = np.asarray(leaf.ravel()[0])
+    _ = run(args).item()  # one dispatch, host readback sync
     return (time.perf_counter() - t0) / iters * 1e3
 
 
