@@ -30,8 +30,11 @@ class AttentionBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        b, f, d = x.shape
+    def __call__(self, x: jax.Array, feature_major: bool = False) -> jax.Array:
+        if feature_major:
+            f, d, b = x.shape  # (F, d, B): batch rides the 128-lane axis
+        else:
+            b, f, d = x.shape
         a = self.attention_dim
         head_dim = a // self.num_heads
 
@@ -48,6 +51,18 @@ class AttentionBlock(nn.Module):
         if self.use_residual:
             p["ln_scale"] = self.param("ln_scale", nn.initializers.ones, (d,))
             p["ln_bias"] = self.param("ln_bias", nn.initializers.zeros, (d,))
+
+        if feature_major:
+            # x is (F, d, B) here — fully fused feature-major kernel
+            # (fwd AND bwd), batch on the 128-lane axis
+            from deepfm_tpu.ops.pallas.attention_fmajor_kernel import (
+                make_attention_block_fmajor,
+            )
+
+            fn = make_attention_block_fmajor(
+                self.num_heads, self.use_residual
+            )
+            return fn(x.astype(self.compute_dtype), p)
 
         if self.use_pallas:
             from deepfm_tpu.ops.pallas.attention_kernel import (
@@ -125,6 +140,25 @@ class MultiHeadSelfAttention(nn.Module):
 
     def __call__(self, field_embeddings: jax.Array) -> jax.Array:
         x = field_embeddings.astype(self.compute_dtype)
+        fm = False
+        if self.use_pallas:
+            from deepfm_tpu.ops.pallas.attention_fmajor_kernel import (
+                fmajor_eligible,
+            )
+
+            b, f, d = x.shape
+            fm = fmajor_eligible(
+                b, f, d, self.attention_dim, self.num_heads, x.dtype.itemsize
+            )
+        if fm:
+            # One transpose around the WHOLE stack: every block runs the
+            # fully-fused feature-major kernel on (F, d, B) with batch in
+            # lanes — no lane padding at any field count (the sample-major
+            # kernel's F<=16 limitation does not apply).
+            x = jnp.transpose(x, (1, 2, 0))
+            for block in self.blocks:
+                x = block(x, feature_major=True)
+            return jnp.transpose(x, (2, 0, 1))
         for block in self.blocks:
             x = block(x)
         return x

@@ -1,0 +1,109 @@
+"""Feature-major fused attention kernel vs the unfused XLA module.
+
+The kernel (ops/pallas/attention_fmajor_kernel.py) runs the WHOLE block
+— QKV, softmax over fields, context, output projection, residual+LN —
+with the batch on the 128-lane axis, and a fully fused backward that
+emits dx plus every parameter gradient. These tests pin kernel == jnp
+oracle for values and for ALL gradients (not just dx), in both residual
+modes, plus the stacked multi-layer path and the eligibility gate.
+
+Reference semantics: deepfm/models/layers/attention.py:67-120.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfm_tpu.ops.attention import MultiHeadSelfAttention
+from deepfm_tpu.ops.pallas.attention_fmajor_kernel import fmajor_eligible
+
+
+def _pair(B, F, D, heads, a, use_residual, num_layers=1):
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(B, F, D)).astype(np.float32))
+    kw = dict(
+        embed_dim=D, num_heads=heads, attention_dim=a,
+        use_residual=use_residual, num_layers=num_layers,
+    )
+    m_ref = MultiHeadSelfAttention(**kw)
+    m_fm = MultiHeadSelfAttention(**kw, use_pallas=True)
+    v = m_ref.init(jax.random.PRNGKey(0), x)
+    return m_ref, m_fm, v, x
+
+
+class TestFeatureMajorAttention:
+    @pytest.mark.parametrize("use_residual", [True, False])
+    def test_values_and_param_grads(self, use_residual):
+        B, F, D, H, a = 8, 27, 16, 4, 64
+        m_ref, m_fm, v, x = _pair(B, F, D, H, a, use_residual)
+        assert fmajor_eligible(B, F, D, a, H, 4)
+
+        np.testing.assert_allclose(
+            np.asarray(m_ref.apply(v, x)), np.asarray(m_fm.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
+
+        def loss(m):
+            def f(params, z):
+                return jnp.sum(m.apply(params, z) ** 2)
+            return f
+
+        (gp1, gx1) = jax.grad(loss(m_ref), argnums=(0, 1))(v, x)
+        (gp2, gx2) = jax.grad(loss(m_fm), argnums=(0, 1))(v, x)
+        np.testing.assert_allclose(
+            np.asarray(gx1), np.asarray(gx2), rtol=1e-3, atol=1e-3
+        )
+        flat1 = jax.tree_util.tree_leaves_with_path(gp1)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(gp2))
+        for path, leaf in flat1:
+            other = flat2[path]
+            ref_scale = max(np.abs(np.asarray(leaf)).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(other),
+                rtol=2e-3, atol=2e-3 * ref_scale,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_multi_layer_stack(self):
+        B, F, D, H, a = 8, 27, 16, 2, 16
+        m_ref, m_fm, v, x = _pair(B, F, D, H, a, True, num_layers=3)
+        np.testing.assert_allclose(
+            np.asarray(m_ref.apply(v, x)), np.asarray(m_fm.apply(v, x)),
+            rtol=1e-4, atol=1e-4,
+        )
+        g1 = jax.grad(lambda z: jnp.sum(m_ref.apply(v, z) ** 2))(x)
+        g2 = jax.grad(lambda z: jnp.sum(m_fm.apply(v, z) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=2e-3
+        )
+
+    def test_bf16_close_to_f32_oracle(self):
+        B, F, D, H, a = 8, 27, 16, 4, 64
+        m_ref, m_fm, v, x = _pair(B, F, D, H, a, True)
+        m_fm_bf = MultiHeadSelfAttention(
+            embed_dim=D, num_heads=H, attention_dim=a, use_residual=True,
+            use_pallas=True, compute_dtype=jnp.bfloat16,
+        )
+        out = np.asarray(m_fm_bf.apply(v, x), dtype=np.float32)
+        ref = np.asarray(m_ref.apply(v, x))
+        assert np.max(np.abs(out - ref)) < 0.12  # bf16 tower tolerance
+
+    def test_eligibility_gate(self):
+        # head_dim 4 (not a multiple of 8) -> sublane split would be
+        # tile-unclean; must be rejected.
+        assert not fmajor_eligible(128, 27, 16, 16, 4, 4)
+        # embed dim not a multiple of 8 -> rejected.
+        assert not fmajor_eligible(128, 27, 12, 64, 4, 4)
+        # flagship shape is eligible.
+        assert fmajor_eligible(131072, 27, 16, 64, 4, 2)
+
+    def test_ineligible_shapes_fall_back(self):
+        # D=12 is ineligible for the fmajor kernel; use_pallas must
+        # still produce correct values via the fallback paths.
+        B, F, D, H, a = 4, 5, 12, 2, 8
+        m_ref, m_fm, v, x = _pair(B, F, D, H, a, True)
+        np.testing.assert_allclose(
+            np.asarray(m_ref.apply(v, x)), np.asarray(m_fm.apply(v, x)),
+            rtol=1e-4, atol=1e-5,
+        )
