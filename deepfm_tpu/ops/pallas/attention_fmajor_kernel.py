@@ -121,7 +121,7 @@ def _attn_bwd_kernel(
     x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref, wof_ref, wqkvt_ref,
     bo_ref, ls_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dls_ref, dlb_ref,
-    qkv_scr, ctx_scr, dctx_scr, dq_scr, dk_scr, dv_scr,
+    qkv_scr, ctx_scr, dctx_scr, dk_scr, dv_scr,
     *, num_heads, head_dim, use_residual,
 ):
     """Fused backward: recomputes the forward, emits dx + all param grads.
@@ -129,6 +129,11 @@ def _attn_bwd_kernel(
     Weight/bias grads accumulate across the (sequential on TPU) batch
     grid into constant-index output refs, zero-initialised on the first
     grid step — the CIN stack kernel's proven accumulator pattern.
+
+    VMEM discipline: dwo is computed BEFORE the attention adjoint loop
+    (the last use of the recomputed context), so ``ctx_scr`` is then
+    reused as the dq accumulator — one less (F, H, hd, TB) f32 scratch
+    keeps the flagship shapes (F=27, a=64) under the VMEM budget.
     """
     F, d, TB = x_ref.shape
     H, hd = num_heads, head_dim
@@ -198,6 +203,15 @@ def _attn_bwd_kernel(
 
     dbo_ref[:] += jnp.sum(dout, axis=0)                 # (d, TB)
 
+    # ---- weight grads that need ctx / dout, BEFORE ctx_scr is reused ----
+    xt = jnp.swapaxes(x, 1, 2)                          # (F, TB, d) cdt
+    doutt = jnp.swapaxes(dout.astype(cdt), 1, 2)        # (F, TB, d)
+    dwo_ref[:] += jnp.sum(jax.lax.dot_general(
+        ctx.astype(cdt), doutt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ), axis=0)                                          # (a, d)
+
     # dctx: (F, a, d) . (F, d, TB) -> (F, a, TB)   [wof = wo broadcast]
     dctx_scr[:] = jax.lax.dot_general(
         wof_ref[:], dout.astype(cdt),
@@ -206,6 +220,7 @@ def _attn_bwd_kernel(
     ).reshape(F, H, hd, TB)
 
     # ---- attention core adjoint, per query field ----
+    dq_scr = ctx_scr                                    # ctx is dead; reuse
     dk_scr[:] = jnp.zeros((F, H, hd, TB), jnp.float32)
     dv_scr[:] = jnp.zeros((F, H, hd, TB), jnp.float32)
 
@@ -228,16 +243,7 @@ def _attn_bwd_kernel(
 
     jax.lax.fori_loop(0, F, bwd_body, 0)
 
-    # ---- weight grads (contract over TB via transposed rhs) + dx ----
-    xt = jnp.swapaxes(x, 1, 2)                          # (F, TB, d) cdt
-    doutt = jnp.swapaxes(dout.astype(cdt), 1, 2)        # (F, TB, d)
-
-    dwo_ref[:] += jnp.sum(jax.lax.dot_general(
-        ctx.astype(cdt), doutt,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ), axis=0)                                          # (a, d)
-
+    # ---- QKV weight grads (contract over TB via transposed rhs) + dx ----
     dx = dx_res if dx_res is not None else jnp.zeros((F, d, TB), jnp.float32)
     for part, scr in ((0, dq_scr), (1, dk_scr), (2, dv_scr)):
         dpart = scr[:].reshape(F, a, TB)                # tile-clean merge
@@ -280,7 +286,7 @@ def _vmem_bytes(F, d, a, H, tb, itemsize):
     weights += (sub(3 * a) + 3 * sub(d)) * tb * 4       # biases / ln
     scratch = (
         F * sub(3 * a) * tb                             # qkv
-        + 5 * F * H * sub(hd) * tb                      # ctx/dctx/dq/dk/dv
+        + 4 * F * H * sub(hd) * tb                      # ctx|dq/dctx/dk/dv
     ) * 4
     temps = 3 * F * H * sub(hd) * tb * 4                # per-i products
     temps += 2 * F * sub(tb) * pad(d) * itemsize        # xt, doutt
@@ -429,11 +435,10 @@ def make_attention_block_fmajor(num_heads: int, use_residual: bool):
             ],
             scratch_shapes=[
                 pltpu.VMEM((F, 3 * a, tb), f32),
-                pltpu.VMEM((F, H, hd, tb), f32),
-                pltpu.VMEM((F, H, hd, tb), f32),
-                pltpu.VMEM((F, H, hd, tb), f32),
-                pltpu.VMEM((F, H, hd, tb), f32),
-                pltpu.VMEM((F, H, hd, tb), f32),
+                pltpu.VMEM((F, H, hd, tb), f32),  # ctx, reused as dq
+                pltpu.VMEM((F, H, hd, tb), f32),  # dctx
+                pltpu.VMEM((F, H, hd, tb), f32),  # dk
+                pltpu.VMEM((F, H, hd, tb), f32),  # dv
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
