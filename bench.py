@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -70,7 +71,7 @@ def _workload():
     return packed, pack_features(packed, feats, labels)
 
 
-def bench_tpu(model_name: str) -> float:
+def bench_tpu(model_name: str, pallas_overrides: dict | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -79,21 +80,22 @@ def bench_tpu(model_name: str) -> float:
     from deepfm_tpu.training.trainer import Trainer
 
     packed, arrays = _workload()
-    config = config_from_dict(
-        {
-            "model_name": model_name,
-            "dnn": {
-                "hidden_units": [512, 256, 128],
-                "dropout": 0.0,
-                "use_batch_norm": True,
-            },
-            "training": {
-                "batch_size": BATCH,
-                "compute_dtype": "bfloat16",
-            },
-            "output_dir": "/tmp/bench_out",
-        }
-    )
+    cfg_dict = {
+        "model_name": model_name,
+        "dnn": {
+            "hidden_units": [512, 256, 128],
+            "dropout": 0.0,
+            "use_batch_norm": True,
+        },
+        "training": {
+            "batch_size": BATCH,
+            "compute_dtype": "bfloat16",
+        },
+        "output_dir": "/tmp/bench_out",
+    }
+    if pallas_overrides:
+        cfg_dict["pallas"] = pallas_overrides
+    config = config_from_dict(cfg_dict)
     model = create_model(model_name, packed, config)
     trainer = Trainer(
         model=model,
@@ -173,7 +175,23 @@ def main() -> None:
     args = parser.parse_args()
     models = [m for m in args.models.split(",") if m]
 
-    values = {name: bench_tpu(name) for name in models}
+    values = {}
+    for name in models:
+        try:
+            values[name] = bench_tpu(name)
+        except Exception as e:  # never lose the whole bench to one kernel
+            print(
+                f"# {name}: kernel path failed ({type(e).__name__}); "
+                "retrying with model-tower Pallas kernels off",
+                file=sys.stderr,
+            )
+            values[name] = bench_tpu(
+                name,
+                pallas_overrides={
+                    "use_attention_kernel": False,
+                    "use_cin_kernel": False,
+                },
+            )
 
     baseline = None
     if args.remeasure_baseline:

@@ -206,3 +206,46 @@ def test_attention_kernel_criteo_field_count(tpu):
     ref = run(False)
     got = run(True)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+def test_attention_fmajor_grads_on_hardware(tpu):
+    """Feature-major fused attention: dx AND every param grad vs the XLA
+    tower, compiled Mosaic on hardware (interpret mode cannot catch
+    layout miscompiles; tolerances absorb MXU bf16 quantization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.ops.attention import MultiHeadSelfAttention
+    from deepfm_tpu.ops.pallas.attention_fmajor_kernel import fmajor_tile
+
+    rng = np.random.default_rng(7)
+    b, f, d, h, a = 256, 27, 16, 4, 64
+    assert fmajor_tile(b, f, d, a, h, 4) is not None
+    x = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+
+    def grads(use_pallas):
+        m = MultiHeadSelfAttention(
+            embed_dim=d, num_heads=h, attention_dim=a,
+            use_residual=True, use_pallas=use_pallas,
+        )
+        v = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(params, z):
+            return jnp.sum(m.apply(params, z) ** 2)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))(v, x)
+
+    gp_ref, gx_ref = grads(False)
+    gp_fm, gx_fm = grads(True)
+    np.testing.assert_allclose(
+        np.asarray(gx_ref), np.asarray(gx_fm), rtol=3e-2, atol=3e-2
+    )
+    ref_leaves = jax.tree_util.tree_leaves_with_path(gp_ref)
+    fm_leaves = dict(jax.tree_util.tree_leaves_with_path(gp_fm))
+    for path, leaf in ref_leaves:
+        want = np.asarray(leaf)
+        got = np.asarray(fm_leaves[path])
+        scale = max(np.abs(want).max(), 1.0)
+        np.testing.assert_allclose(
+            got, want, rtol=3e-2, atol=3e-2 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
