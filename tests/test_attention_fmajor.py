@@ -107,3 +107,31 @@ class TestFeatureMajorAttention:
             np.asarray(m_ref.apply(v, x)), np.asarray(m_fm.apply(v, x)),
             rtol=1e-4, atol=1e-5,
         )
+
+
+class TestFeatureMajorUnderMesh:
+    def test_dp_partitions_kernel_without_batch_all_gather(self):
+        """The fused fmajor block must shard along batch under a DP mesh
+        — GSPMD partitions the pallas call; an all-gather of the (B,F,d)
+        activations would serialize the tower on one device."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from deepfm_tpu.parallel import build_mesh
+
+        mesh = build_mesh(8, 1)
+        B, F, D, H, a = 1024, 27, 16, 4, 64
+        m_ref, m_fm, v, x = _pair(B, F, D, H, a, True)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+        def loss(params, z):
+            return jnp.sum(m_fm.apply(params, z) ** 2)
+
+        g = jax.jit(jax.grad(loss, argnums=1))
+        hlo = g.lower(v, xs).compile().as_text()
+        assert "all-gather" not in hlo, "batch all-gather around the kernel"
+        # and the sharded grads still match the single-device oracle
+        got = np.asarray(g(v, xs))
+        want = np.asarray(
+            jax.grad(lambda z: jnp.sum(m_ref.apply(v, z) ** 2))(x)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
