@@ -90,6 +90,8 @@ class TestFeatureMajorAttention:
         assert np.max(np.abs(out - ref)) < 0.12  # bf16 tower tolerance
 
     def test_eligibility_gate(self):
+        from deepfm_tpu.ops.pallas.attention_fmajor_kernel import fmajor_tile
+
         # head_dim 4 (not a multiple of 8) -> sublane split would be
         # tile-unclean; must be rejected.
         assert not fmajor_eligible(128, 27, 16, 16, 4, 4)
@@ -97,6 +99,10 @@ class TestFeatureMajorAttention:
         assert not fmajor_eligible(128, 27, 12, 64, 4, 4)
         # flagship shape is eligible.
         assert fmajor_eligible(131072, 27, 16, 64, 4, 2)
+        # ...including the TPU VMEM accounting (fmajor_tile is what the
+        # TPU path consults; a VMEM-estimate regression here would
+        # silently disable the kernel at bench shapes)
+        assert fmajor_tile(16384, 27, 16, 64, 4, 2) == 128
 
     def test_ineligible_shapes_fall_back(self):
         # D=12 is ineligible for the fmajor kernel; use_pallas must
