@@ -71,7 +71,11 @@ def _workload():
     return packed, pack_features(packed, feats, labels)
 
 
-def bench_tpu(model_name: str, pallas_overrides: dict | None = None) -> float:
+def bench_tpu(
+    model_name: str,
+    pallas_overrides: dict | None = None,
+    moments_dtype: str = "float32",
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -90,6 +94,7 @@ def bench_tpu(model_name: str, pallas_overrides: dict | None = None) -> float:
         "training": {
             "batch_size": BATCH,
             "compute_dtype": "bfloat16",
+            "moments_dtype": moments_dtype,
         },
         "output_dir": "/tmp/bench_out",
     }
@@ -172,13 +177,20 @@ def main() -> None:
         default=",".join(MODELS),
         help="comma-separated subset of models to bench",
     )
+    parser.add_argument(
+        "--moments-dtype",
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="Adam moment storage for the tables (bfloat16 cuts the "
+        "HBM-bound fused-Adam pass; quality evidence in RESULTS.md)",
+    )
     args = parser.parse_args()
     models = [m for m in args.models.split(",") if m]
 
     values = {}
     for name in models:
         try:
-            values[name] = bench_tpu(name)
+            values[name] = bench_tpu(name, moments_dtype=args.moments_dtype)
         except Exception as e:  # never lose the whole bench to one kernel
             print(
                 f"# {name}: kernel path failed ({type(e).__name__}); "

@@ -97,6 +97,12 @@ class TrainingConfig:
     # TPU only): one aliased in-place pass instead of XLA's multi-read
     # fusion. Exactly equivalent to the optax chain (parity-tested).
     fused_table_adam: bool = True
+    # Storage dtype for the embedding tables' Adam moments ("float32" or
+    # "bfloat16"). bfloat16 halves the mu/nu share of the HBM-bound Adam
+    # pass (the largest single pass of the DeepFM step) at the cost of
+    # 8-bit-mantissa moment quantization; params stay f32. Applies only
+    # to the fused table Adam; the dense towers and lazy_adam keep f32.
+    moments_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

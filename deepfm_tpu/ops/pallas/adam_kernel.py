@@ -52,16 +52,17 @@ def _adam_kernel(
     # update_moment -> bias_correction divisions): Adam's normalization
     # amplifies last-ulp differences into +/-lr-scale trajectory
     # divergence, so matching the literal f32 operation sequence matters
-    # for step-parity
+    # for step-parity. Moments may be STORED bf16 (training.moments_dtype)
+    # — math is always f32; only the mu/nu writeback quantizes.
     g = g_ref[:] + wd * p
     g = jnp.where(noclip > 0.0, g, g / gnorm * clip)
-    mu = (1.0 - b1) * g + b1 * mu_ref[:]
-    nu = (1.0 - b2) * (g * g) + b2 * nu_ref[:]
+    mu = (1.0 - b1) * g + b1 * mu_ref[:].astype(jnp.float32)
+    nu = (1.0 - b2) * (g * g) + b2 * nu_ref[:].astype(jnp.float32)
     mu_hat = mu / bc1
     nu_hat = nu / bc2
     po_ref[:] = p - lr * (mu_hat / (jnp.sqrt(nu_hat) + eps))
-    muo_ref[:] = mu
-    nuo_ref[:] = nu
+    muo_ref[:] = mu.astype(muo_ref.dtype)
+    nuo_ref[:] = nu.astype(nuo_ref.dtype)
 
 
 @partial(jax.jit, static_argnums=(9, 10, 11))
@@ -117,14 +118,14 @@ def fused_table_adam(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((r, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, c), jnp.float32),
-            jax.ShapeDtypeStruct((r, c), jnp.float32),
+            jax.ShapeDtypeStruct((r, c), mu.dtype),
+            jax.ShapeDtypeStruct((r, c), nu.dtype),
         ],
         input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=jax.default_backend() == "cpu",
         cost_estimate=pl.CostEstimate(
             flops=12 * r * c,
-            bytes_accessed=7 * 4 * r * c,
+            bytes_accessed=(3 * 4 + 2 * 2 * mu.dtype.itemsize) * r * c,
             transcendentals=r * c,
         ),
     )(scalars, param, mu, nu, grad)

@@ -44,8 +44,14 @@ class TableSlotState(NamedTuple):
     nu: jax.Array  # (V, d)
 
 
-def init_table_state(table: jax.Array) -> TableSlotState:
-    return TableSlotState(mu=jnp.zeros_like(table), nu=jnp.zeros_like(table))
+def init_table_state(table: jax.Array, moments_dtype=None) -> TableSlotState:
+    """Zero Adam moments for one table; ``moments_dtype`` overrides the
+    storage dtype (training.moments_dtype — bf16 halves the moment share
+    of the HBM-bound fused-Adam pass; math stays f32 in the kernel)."""
+    dt = table.dtype if moments_dtype is None else moments_dtype
+    return TableSlotState(
+        mu=jnp.zeros(table.shape, dt), nu=jnp.zeros(table.shape, dt)
+    )
 
 
 def dedupe_ids(ids: jax.Array, num_rows: int) -> jax.Array:

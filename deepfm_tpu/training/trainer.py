@@ -297,8 +297,13 @@ class Trainer:
             if self.lazy_tables or self.fused_tables:
                 from deepfm_tpu.training.sparse_opt import init_table_state
 
+                # bf16 moments apply only to the fused kernel (lazy_adam's
+                # row-sparse updates keep f32 accumulators)
+                mdt = None
+                if self.fused_tables:
+                    mdt = jnp.dtype(self.config.training.moments_dtype)
                 table_opt = {
-                    name: init_table_state(p)
+                    name: init_table_state(p, moments_dtype=mdt)
                     for name, p in params["embedding"].items()
                     if _is_table_name(name)
                 }
@@ -1099,12 +1104,21 @@ class Trainer:
         if self.state.table_opt is not None:
             template["table_opt"] = jax.device_get(self.state.table_opt)
         ckpt = load_checkpoint(path, template)
+        table_opt = ckpt.get("table_opt")
+        if table_opt is not None:
+            # moments may have been saved under a different
+            # training.moments_dtype — cast to this run's storage dtype
+            table_opt = jax.tree_util.tree_map(
+                lambda saved, tmpl: jnp.asarray(saved).astype(tmpl.dtype),
+                table_opt,
+                template["table_opt"],
+            )
         state = TrainState(
             params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
             opt_state=ckpt["opt_state"],
             step=jnp.asarray(ckpt["step"]),
-            table_opt=ckpt.get("table_opt"),
+            table_opt=table_opt,
         )
         if self.mesh is not None:
             from deepfm_tpu.parallel.sharding import state_shardings

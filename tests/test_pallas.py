@@ -634,3 +634,95 @@ class TestFusedTableAdam:
         assert not big, (
             f"table-sized all-gather around the fused Adam: {big}"
         )
+
+
+class TestBf16Moments:
+    def test_kernel_bf16_moments_track_f32(self):
+        """bf16-stored moments: updates must track the f32 chain within
+        bf16 quantization error, and the moment outputs keep their
+        storage dtype across steps."""
+        from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
+
+        rng = np.random.default_rng(9)
+        r, c = 256, 128
+        p32 = jnp.asarray(rng.normal(size=(r, c)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(r, c)).astype(np.float32) * 1e-2)
+        lr, wd, clip = 1e-3, 2e-5, 1.0
+        pb = p32
+        mu32 = nu32 = jnp.zeros_like(p32)
+        mub = nub = jnp.zeros((r, c), jnp.bfloat16)
+        for step in range(5):
+            dec = g + wd * p32
+            gnorm = jnp.sqrt(jnp.sum(dec * dec))
+            p32, mu32, nu32 = fused_table_adam(
+                p32, mu32, nu32, g, jnp.asarray(lr), jnp.asarray(wd),
+                gnorm, jnp.asarray(clip), jnp.asarray(step, jnp.int32),
+            )
+            decb = g + wd * pb
+            gnb = jnp.sqrt(jnp.sum(decb * decb))
+            pb, mub, nub = fused_table_adam(
+                pb, mub, nub, g, jnp.asarray(lr), jnp.asarray(wd),
+                gnb, jnp.asarray(clip), jnp.asarray(step, jnp.int32),
+            )
+            assert mub.dtype == jnp.bfloat16 and nub.dtype == jnp.bfloat16
+        # after 5 steps the cumulative param drift stays at bf16-moment
+        # scale (relative moment error ~2^-9, amplified by lr only)
+        drift = np.abs(np.asarray(pb - p32))
+        step_size = 5 * lr
+        assert drift.max() < 0.05 * step_size
+
+    def test_trainer_bf16_moments(self, tmp_path, monkeypatch):
+        """training.moments_dtype=bfloat16 end to end: moments are stored
+        bf16, losses stay close to the f32-moment run."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from conftest import make_synth_batch, make_synth_schema
+
+        import deepfm_tpu.training.trainer as trainer_mod
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.models import create_model
+        from deepfm_tpu.training.trainer import Trainer
+
+        schema = make_synth_schema()
+        packed = pack_schema(schema)
+        feats, labels = make_synth_batch(schema, 32, seed=13)
+        arr = pack_features(packed, feats, labels)
+        monkeypatch.setattr(
+            trainer_mod,
+            "_use_fused_table_adam",
+            lambda cfg, mesh=None: True,
+        )
+
+        def run(moments_dtype):
+            cfg = config_from_dict(
+                {
+                    "output_dir": str(tmp_path),
+                    "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+                    "training": {
+                        "batch_size": 32, "num_epochs": 1,
+                        "scheduler": "none",
+                        "moments_dtype": moments_dtype,
+                    },
+                }
+            )
+            model = create_model("deepfm", packed, cfg)
+            tr = Trainer(model, packed, cfg, arr, arr, arr)
+            ids = jnp.asarray(arr.ids)
+            dense = jnp.asarray(arr.dense)
+            lab = jnp.asarray(arr.labels)
+            w = jnp.ones((32,), jnp.float32)
+            state = tr.state
+            losses = []
+            for _ in range(3):
+                state, loss = tr._train_step(state, ids, dense, lab, w)
+                losses.append(float(loss))
+            return losses, state
+
+        losses_bf, state_bf = run("bfloat16")
+        losses_f32, _ = run("float32")
+        for t in state_bf.table_opt.values():
+            assert t.mu.dtype == jnp.bfloat16
+            assert t.nu.dtype == jnp.bfloat16
+        np.testing.assert_allclose(losses_bf, losses_f32, rtol=5e-3)
