@@ -243,22 +243,32 @@ def _attn_bwd_kernel(
 
     jax.lax.fori_loop(0, F, bwd_body, 0)
 
-    # ---- QKV weight grads (contract over TB via transposed rhs) + dx ----
+    # ---- QKV weight grads + dx, as ONE K=3a batched matmul each ----
+    # q4/k4/v4 (the qkv value) are dead after the loop, so qkv_scr is
+    # repacked with (dq | dk | dv) — sublane-aligned writes at multiples
+    # of a — and the three per-part contractions collapse into single
+    # batched matmuls. Slicing wqkvt's LANE dim per part (the obvious
+    # formulation) is a Mosaic sub-128 lane-slice hazard; contracting the
+    # whole 3a axis at once never slices lanes and feeds the MXU K=3a.
+    qkv_scr[:, pl.ds(0, a), :] = dq_scr[:].reshape(F, a, TB)
+    qkv_scr[:, pl.ds(a, a), :] = dk_scr[:].reshape(F, a, TB)
+    qkv_scr[:, pl.ds(2 * a, a), :] = dv_scr[:].reshape(F, a, TB)
+    dall = qkv_scr[:]                                   # (F, 3a, TB) f32
+
+    dwqkv_ref[:] += jnp.sum(jax.lax.dot_general(
+        dall.astype(cdt), xt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ), axis=0)                                          # (3a, d)
+    dbqkv_ref[:] += jnp.sum(dall, axis=0)               # (3a, TB)
+
+    # dx += Wqkv^T . dall : (F, d, 3a) . (F, 3a, TB) -> (F, d, TB)
     dx = dx_res if dx_res is not None else jnp.zeros((F, d, TB), jnp.float32)
-    for part, scr in ((0, dq_scr), (1, dk_scr), (2, dv_scr)):
-        dpart = scr[:].reshape(F, a, TB)                # tile-clean merge
-        dwqkv_ref[pl.ds(part * a, a)] += jnp.sum(jax.lax.dot_general(
-            dpart.astype(cdt), xt,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ), axis=0)                                      # (a, d)
-        dbqkv_ref[pl.ds(part * a, a)] += jnp.sum(dpart, axis=0)  # (a, TB)
-        # dx += W_part^T . dpart : (F, d, a) . (F, a, TB) -> (F, d, TB)
-        dx = dx + jax.lax.dot_general(
-            wqkvt_ref[:, :, pl.ds(part * a, a)], dpart.astype(cdt),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+    dx = dx + jax.lax.dot_general(
+        wqkvt_ref[:], dall.astype(cdt),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
