@@ -75,6 +75,7 @@ def bench_tpu(
     model_name: str,
     pallas_overrides: dict | None = None,
     moments_dtype: str = "float32",
+    fused_backward: bool = True,
 ) -> float:
     import jax
     import jax.numpy as jnp
@@ -95,6 +96,7 @@ def bench_tpu(
             "batch_size": BATCH,
             "compute_dtype": "bfloat16",
             "moments_dtype": moments_dtype,
+            "fused_backward": fused_backward,
         },
         "output_dir": "/tmp/bench_out",
     }
@@ -184,13 +186,23 @@ def main() -> None:
         help="Adam moment storage for the tables (bfloat16 cuts the "
         "HBM-bound fused-Adam pass; quality evidence in RESULTS.md)",
     )
+    parser.add_argument(
+        "--no-fused-backward",
+        action="store_true",
+        help="disable the merged sparse backward-optimizer (A/B against "
+        "the densify + fused-Adam two-pass path)",
+    )
     args = parser.parse_args()
     models = [m for m in args.models.split(",") if m]
 
     values = {}
     for name in models:
         try:
-            values[name] = bench_tpu(name, moments_dtype=args.moments_dtype)
+            values[name] = bench_tpu(
+                name,
+                moments_dtype=args.moments_dtype,
+                fused_backward=not args.no_fused_backward,
+            )
         except Exception as e:  # never lose the whole bench to one kernel
             print(
                 f"# {name}: kernel path failed ({type(e).__name__}); "
@@ -203,6 +215,8 @@ def main() -> None:
                     "use_attention_kernel": False,
                     "use_cin_kernel": False,
                 },
+                moments_dtype=args.moments_dtype,
+                fused_backward=not args.no_fused_backward,
             )
 
     baseline = None

@@ -103,6 +103,14 @@ class TrainingConfig:
     # 8-bit-mantissa moment quantization; params stay f32. Applies only
     # to the fused table Adam; the dense towers and lazy_adam keep f32.
     moments_dtype: str = "float32"
+    # Fuse the table backward INTO the optimizer pass: the dense table
+    # gradient never touches HBM (ops/pallas/sparse_adam_kernel.py) and
+    # the decayed clip norm is assembled sparsely from the sorted
+    # cotangent stream + the forward's gathered rows + the carried
+    # sumsq(p). Engages only when fused_table_adam is active, tables are
+    # packed, and the run is single-device; other configurations keep
+    # the densify + fused-Adam two-pass path.
+    fused_backward: bool = True
 
 
 @dataclass(frozen=True)

@@ -63,9 +63,16 @@ class CTRModel(nn.Module):
         raise NotImplementedError
 
     def __call__(
-        self, ids: jax.Array, dense: jax.Array, *, train: bool = False
+        self,
+        ids: jax.Array,
+        dense: jax.Array,
+        *,
+        train: bool = False,
+        rows_override: dict | None = None,
     ) -> jax.Array:
-        first_order, field_embeddings, flat_embeddings = self.embedding(ids, dense)
+        first_order, field_embeddings, flat_embeddings = self.embedding(
+            ids, dense, rows_override=rows_override
+        )
         logit = self._forward_components(
             first_order, field_embeddings, flat_embeddings, train
         )

@@ -207,7 +207,10 @@ class FeatureEmbedding(nn.Module):
 
     @nn.compact
     def __call__(
-        self, ids: jax.Array, dense: jax.Array
+        self,
+        ids: jax.Array,
+        dense: jax.Array,
+        rows_override: dict[str, jax.Array] | None = None,
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         packed = self.packed
         fm_d = self.fm_embed_dim
@@ -251,7 +254,18 @@ class FeatureEmbedding(nn.Module):
                     (phys_rows, 128),
                 )
                 b, s = local.shape
-                rows = factory(d + 1, pack)(table, local.reshape(-1))
+                if rows_override is not None and f"table_w{d}" in rows_override:
+                    # Pre-gathered (n, d+1) f32 rows supplied by the
+                    # trainer's fused-backward path; the table param is
+                    # still declared above so the parameter tree (and
+                    # therefore checkpoints/sharding) is unchanged, and
+                    # the graph from here on is identical to the
+                    # in-graph gather — differentiating w.r.t. these
+                    # rows yields exactly the cotangent stream the
+                    # sparse optimizer kernel consumes.
+                    rows = rows_override[f"table_w{d}"]
+                else:
+                    rows = factory(d + 1, pack)(table, local.reshape(-1))
                 # NOTE (round-3 measured negative result): pinning the
                 # gather in f32 with an optimization_barrier and
                 # converting the (n, d+1) block afterwards measured
@@ -269,7 +283,13 @@ class FeatureEmbedding(nn.Module):
                     make_table_init(d, vocabs, rows_padded),
                     (rows_padded, d + 1),
                 )
-                raw = self._lookup(table, local).astype(cdt)  # (B, S_g, d+1)
+                if rows_override is not None and f"table_w{d}" in rows_override:
+                    b, s = local.shape
+                    raw = rows_override[f"table_w{d}"].reshape(
+                        b, s, d + 1
+                    ).astype(cdt)
+                else:
+                    raw = self._lookup(table, local).astype(cdt)  # (B, S_g, d+1)
             raw = raw * mask[:, :, None]
             emb = raw[:, :, :d]
             fo_vals = raw[:, :, d]  # (B, S_g)
@@ -366,3 +386,41 @@ class FeatureEmbedding(nn.Module):
             [field_raw[n] for n in packed.field_order], axis=-1
         )
         return first_order, field_embeddings, flat_embeddings
+
+
+def gather_group_rows(
+    packed: PackedSchema,
+    emb_params: dict,
+    ids: jax.Array,
+    packed_tables: bool,
+) -> dict[str, tuple[jax.Array, jax.Array]]:
+    """Gather each width group's raw table rows OUTSIDE the loss graph.
+
+    Returns {table name: (rows (n, d+1) f32, flat local ids (n,) int32)}.
+    Replicates the exact lookup the module's ``__call__`` performs (same
+    id arithmetic, same packed window gather), so feeding the rows back
+    via ``rows_override`` reproduces the forward bit-for-bit while the
+    loss gradient w.r.t. ``rows`` is precisely the sparse cotangent
+    stream the fused backward-optimizer kernel
+    (ops/pallas/sparse_adam_kernel.py) consumes — the dense table
+    gradient never materializes.
+    """
+    out: dict[str, tuple[jax.Array, jax.Array]] = {}
+    for group in packed.lookup_groups:
+        d = group.width
+        pack = 128 // (d + 1) if packed_tables else 1
+        local = (
+            ids[:, group.slot_start : group.slot_end]
+            + jnp.asarray(group.local_offsets)[None, :]
+        ).reshape(-1)
+        table = emb_params[f"table_w{d}"]
+        if pack > 1:
+            from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+                make_packed_lookup,
+            )
+
+            rows = make_packed_lookup(d + 1, pack)(table, local)
+        else:
+            rows = jnp.take(table, local, axis=0)
+        out[f"table_w{d}"] = (rows, local)
+    return out

@@ -52,6 +52,10 @@ class TrainState(struct.PyTreeNode):
     step: jax.Array
     # lazy_adam only: per-table row-sparse Adam moments (name -> state)
     table_opt: Any = None
+    # fused sparse backward only: per-table sumsq(param) carried across
+    # steps (emitted by the merged kernel) so the decayed clip norm is
+    # assembled without re-reading the table (name -> f32 scalar)
+    table_psq: Any = None
 
 
 def _is_table_name(name: str) -> bool:
@@ -237,6 +241,30 @@ class Trainer:
 
         self.lazy_tables = config.training.optimizer == "lazy_adam"
         self.fused_tables = _use_fused_table_adam(config, mesh)
+        # Fused sparse backward-optimizer (the table gradient never
+        # materializes in HBM; ops/pallas/sparse_adam_kernel.py).
+        # Single-device packed-table runs only: the sharded strategies
+        # keep the densify + sparse-grad-exchange machinery, and
+        # custom lookup injections (sharded factories) change the
+        # forward this path must replicate bit-for-bit.
+        self.sparse_fused = (
+            self.fused_tables
+            and not self.lazy_tables
+            and config.training.fused_backward
+            and mesh is None
+            and getattr(model, "packed_tables", False)
+            and model.lookup_fn is None
+            and getattr(model, "packed_lookup_factory", None) is None
+            and len(packed_schema.lookup_groups) > 0
+            and all(
+                128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
+                for g in packed_schema.lookup_groups
+            )
+        )
+        self._table_pack = {
+            f"table_w{g.width}": 128 // (g.width + 1)
+            for g in packed_schema.lookup_groups
+        }
         self.scheduler = PlateauScheduler(
             lr=config.training.lr,
             enabled=config.training.scheduler == "reduce_on_plateau",
@@ -307,12 +335,20 @@ class Trainer:
                     for name, p in params["embedding"].items()
                     if _is_table_name(name)
                 }
+            table_psq = None
+            if self.sparse_fused:
+                table_psq = {
+                    name: jnp.sum(jnp.square(p))
+                    for name, p in params["embedding"].items()
+                    if _is_table_name(name)
+                }
             return TrainState(
                 params=params,
                 batch_stats=variables.get("batch_stats", {}),
                 opt_state=opt_state,
                 step=jnp.zeros((), jnp.int32),
                 table_opt=table_opt,
+                table_psq=table_psq,
             )
 
         state = jax.jit(init_fn)(params)
@@ -351,9 +387,155 @@ class Trainer:
         dropout_root = jax.random.fold_in(self.root_key, 0xD0)
         has_bn = bool(self.state.batch_stats)
 
+        sparse_fast = self.sparse_fused
+        table_pack = self._table_pack
+
+        def sparse_fused_step(state: TrainState, ids, dense, labels, weights, dropout_key):
+            # ---- fused sparse backward-optimizer: the table gradient
+            # never materializes in HBM. The forward's gather moves
+            # OUTSIDE the loss graph (bit-identical ops via
+            # rows_override), so autodiff yields the (n, d+1) cotangent
+            # stream directly; the decayed clip norm is assembled
+            # sparsely; densify + decay + clip + Adam run as ONE Pallas
+            # pass per table (ops/pallas/sparse_adam_kernel.py). ----
+            from deepfm_tpu.ops.embedding import gather_group_rows
+            from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+                sort_pairs,
+                sorted_segment_sumsq,
+                sparse_table_adam_packed,
+            )
+
+            wd = 2.0 * l2_reg
+            emb_params = state.params["embedding"]
+            gathered = gather_group_rows(packed, emb_params, ids, True)
+            rows_in = {k: v[0] for k, v in gathered.items()}
+
+            def loss_fn(params, rows_dict):
+                variables = {"params": params}
+                if has_bn:
+                    variables["batch_stats"] = state.batch_stats
+                logits, mutated = model.apply(
+                    variables,
+                    ids,
+                    dense,
+                    train=True,
+                    rows_override=rows_dict,
+                    rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"],
+                )
+                logits = logits[:, 0]
+                per_row = optax.sigmoid_binary_cross_entropy(logits, labels)
+                denom = jnp.maximum(jnp.sum(weights), 1.0)
+                loss = jnp.sum(per_row * weights) / denom
+                new_bs = mutated.get("batch_stats", state.batch_stats)
+                return loss, new_bs
+
+            (loss, new_bs), (grads, ct_dict) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, rows_in)
+
+            def decayed(path, g):
+                keys = [str(getattr(k, "key", "")) for k in path]
+                if keys and keys[0] == "embedding":
+                    return g + wd * emb_params[keys[-1]]
+                return g
+
+            # decayed global norm: non-table leaves fold exactly like
+            # the two-pass path; each table's sumsq(g + wd*p) decomposes
+            # as sumsq_seg(ct) + 2*wd*<ct, rows> + wd^2*sumsq(p) — the
+            # rows are the forward's residuals and sumsq(p) is the
+            # scalar last step's kernel emitted. Only the f32 summation
+            # ORDER differs from the dense reduce (O(1e-7) relative).
+            sorted_cache = {}
+            table_sq = {}
+            for name, (rows, fids) in gathered.items():
+                ct = ct_dict[name]
+                sids, ctsT = sort_pairs(fids, ct)
+                sorted_cache[name] = (sids, ctsT)
+                ssq_g = sorted_segment_sumsq(sids, ctsT)
+                dotgp = jnp.sum(ct * rows)
+                table_sq[name] = (
+                    ssq_g
+                    + 2.0 * wd * dotgp
+                    + wd * wd * state.table_psq[name]
+                )
+
+            def leaf_sq(path, g):
+                name = str(getattr(path[-1], "key", ""))
+                if _is_table_name(name):
+                    # the grads leaf is structurally zero (the loss saw
+                    # only rows) — substitute the sparse assembly
+                    return table_sq[name]
+                return jnp.sum(jnp.square(decayed(path, g)))
+
+            sq_tree = jax.tree_util.tree_map_with_path(leaf_sq, grads)
+            gnorm = jnp.sqrt(sum(jax.tree_util.tree_leaves(sq_tree)))
+            if clip > 0:
+                trigger = gnorm < clip
+
+                def clipped(g):
+                    return jnp.where(trigger, g, g / gnorm * clip)
+            else:
+                def clipped(g):
+                    return g
+
+            nt_grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: (
+                    jnp.zeros_like(g)
+                    if _is_table_name(str(getattr(path[-1], "key", "")))
+                    else clipped(decayed(path, g))
+                ),
+                grads,
+            )
+            updates, new_opt = tx.update(
+                nt_grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+
+            lr = state.opt_state.hyperparams["learning_rate"]
+            new_emb = dict(new_params["embedding"])
+            new_table_opt = dict(state.table_opt)
+            new_psq = dict(state.table_psq)
+            for name, (sids, ctsT) in sorted_cache.items():
+                topt = state.table_opt[name]
+                p2, mu2, nu2, psq2 = sparse_table_adam_packed(
+                    emb_params[name],
+                    topt.mu,
+                    topt.nu,
+                    sids,
+                    ctsT,
+                    lr,
+                    wd,
+                    gnorm,
+                    clip,
+                    state.step,
+                    table_pack[name],
+                )
+                new_emb[name] = p2
+                new_table_opt[name] = type(topt)(mu=mu2, nu=nu2)
+                new_psq[name] = psq2
+            new_params = dict(new_params)
+            new_params["embedding"] = new_emb
+            return (
+                state.replace(
+                    params=new_params,
+                    batch_stats=new_bs,
+                    opt_state=new_opt,
+                    step=state.step + 1,
+                    table_opt=new_table_opt,
+                    table_psq=new_psq,
+                ),
+                loss,
+            )
+
         @partial(jax.jit, donate_argnums=0)
         def train_step(state: TrainState, ids, dense, labels, weights):
             dropout_key = jax.random.fold_in(dropout_root, state.step)
+
+            if sparse_fast:
+                return sparse_fused_step(
+                    state, ids, dense, labels, weights, dropout_key
+                )
 
             def loss_fn(params):
                 variables = {"params": params}
@@ -1030,6 +1212,7 @@ class Trainer:
         self.state = self.state.replace(
             params=restored["params"], batch_stats=restored["batch_stats"]
         )
+        self._recompute_table_psq()
 
     def _save_resume(
         self,
@@ -1130,8 +1313,24 @@ class Trainer:
         self.state = self.state.replace(
             opt_state=_set_lr(self.state.opt_state, self.scheduler.lr)
         )
+        self._recompute_table_psq()
         self.logger.info(f"Resumed from epoch {meta['epoch']}")
         return meta
+
+    def _recompute_table_psq(self) -> None:
+        """Re-derive the carried sumsq(param) scalars after any restore
+        that replaced the table params (the merged kernel otherwise
+        keeps them current as a per-step byproduct)."""
+        if not getattr(self, "sparse_fused", False):
+            return
+        psq = jax.jit(
+            lambda emb: {
+                name: jnp.sum(jnp.square(p))
+                for name, p in emb.items()
+                if _is_table_name(name)
+            }
+        )(self.state.params["embedding"])
+        self.state = self.state.replace(table_psq=psq)
 
     def _save_results(
         self,
