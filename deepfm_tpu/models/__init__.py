@@ -67,14 +67,21 @@ def create_model(
     packed = schema if isinstance(schema, PackedSchema) else pack_schema(schema)
 
     if mesh is not None and lookup_fn is None and packed_lookup_factory is None:
-        from deepfm_tpu.parallel import (
-            make_lookup_fn,
-            make_packed_lookup_factory,
-        )
+        from deepfm_tpu.training.trainer import sparse_fused_eligible
 
-        strategy = config.mesh.embedding_strategy
-        lookup_fn = make_lookup_fn(mesh, strategy)
-        packed_lookup_factory = make_packed_lookup_factory(mesh, strategy)
+        if not sparse_fused_eligible(config, packed, mesh):
+            from deepfm_tpu.parallel import (
+                make_lookup_fn,
+                make_packed_lookup_factory,
+            )
+
+            strategy = config.mesh.embedding_strategy
+            lookup_fn = make_lookup_fn(mesh, strategy)
+            packed_lookup_factory = make_packed_lookup_factory(mesh, strategy)
+        # else: pure-DP mesh taking the fused sparse backward — the
+        # trainer replicates the (ids, ct) pairs itself, so the default
+        # single-shard packed gather is the right lookup (tables are
+        # replicated under GSPMD)
 
     packed_tables = resolve_table_layout(config)
     sharded = lookup_fn is not None or packed_lookup_factory is not None

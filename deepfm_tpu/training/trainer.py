@@ -88,6 +88,31 @@ def _use_fused_table_adam(config: ExperimentConfig, mesh=None) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def sparse_fused_eligible(config, packed_schema, mesh=None) -> bool:
+    """True when the trainer will take the fused sparse backward-
+    optimizer path with DEFAULT lookups (no sharded strategy
+    injection). Shared with create_model so a pure-DP mesh keeps the
+    single-shard packed gather: the fast path replicates the (ids, ct)
+    pairs itself, making the m=1 exchange strategies redundant."""
+    if config.training.optimizer == "lazy_adam":
+        return False
+    if not config.training.fused_backward:
+        return False
+    if not _use_fused_table_adam(config, mesh):
+        return False
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        return False
+    from deepfm_tpu.models import resolve_table_layout
+
+    if not resolve_table_layout(config):
+        return False
+    groups = packed_schema.lookup_groups
+    return len(groups) > 0 and all(
+        128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
+        for g in groups
+    )
+
+
 def build_optimizer(
     config: ExperimentConfig,
     params: Any | None = None,
@@ -243,23 +268,19 @@ class Trainer:
         self.fused_tables = _use_fused_table_adam(config, mesh)
         # Fused sparse backward-optimizer (the table gradient never
         # materializes in HBM; ops/pallas/sparse_adam_kernel.py).
-        # Single-device packed-table runs only: the sharded strategies
-        # keep the densify + sparse-grad-exchange machinery, and
+        # Packed-table runs on a single device or a pure-DP mesh: with
+        # tables replicated, the (ids, ct) pairs all-gather over "data"
+        # (the same traffic sparse_grad_exchange moves) and every
+        # replica applies the identical merged update. Model-sharded
+        # strategies keep the densify + routed-exchange machinery, and
         # custom lookup injections (sharded factories) change the
         # forward this path must replicate bit-for-bit.
         self.sparse_fused = (
-            self.fused_tables
-            and not self.lazy_tables
-            and config.training.fused_backward
-            and mesh is None
+            sparse_fused_eligible(config, packed_schema, mesh)
+            and self.fused_tables
             and getattr(model, "packed_tables", False)
             and model.lookup_fn is None
             and getattr(model, "packed_lookup_factory", None) is None
-            and len(packed_schema.lookup_groups) > 0
-            and all(
-                128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
-                for g in packed_schema.lookup_groups
-            )
         )
         self._table_pack = {
             f"table_w{g.width}": 128 // (g.width + 1)
@@ -450,10 +471,26 @@ class Trainer:
             table_sq = {}
             for name, (rows, fids) in gathered.items():
                 ct = ct_dict[name]
+                # <g, p> on the still-sharded arrays (a psum of local
+                # partials); computing it after replication would drag
+                # the rows through the all-gather too
+                dotgp = jnp.sum(ct * rows)
+                if self.mesh is not None:
+                    # pure DP: replicate the (ids, ct) pairs so every
+                    # replica's merged kernel applies the identical
+                    # full-batch update to its table copy — one
+                    # all-gather over "data" of n*(4+4*(d+1)) bytes,
+                    # the same stream sparse_grad_exchange moves on
+                    # the two-pass path
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    rep = NamedSharding(self.mesh, P())
+                    fids = jax.lax.with_sharding_constraint(fids, rep)
+                    ct = jax.lax.with_sharding_constraint(ct, rep)
                 sids, ctsT = sort_pairs(fids, ct)
                 sorted_cache[name] = (sids, ctsT)
                 ssq_g = sorted_segment_sumsq(sids, ctsT)
-                dotgp = jnp.sum(ct * rows)
                 table_sq[name] = (
                     ssq_g
                     + 2.0 * wd * dotgp

@@ -259,6 +259,49 @@ class TestTrainerParity:
             assert float(v) == pytest.approx(want, rel=1e-5)
 
 
+class TestDataParallel:
+    def test_dp_mesh_fast_matches_two_pass_same_mesh(self, tmp_path):
+        """Pure-DP mesh engages the fast path (pairs replicate over
+        "data"); on the SAME mesh it must match the two-pass path.
+        (DP-vs-single-device comparisons are inherently loose: the psum
+        reduce order perturbs near-zero bias gradients and Adam's first
+        steps amplify that to ~1e-3 on EITHER path — measured identical
+        on the two-pass path.) clip=0 keeps the paths gnorm-independent
+        and therefore tight."""
+        from deepfm_tpu.parallel import build_mesh
+
+        packed, arr = _make_data(n=32)
+        mesh = build_mesh(jax.device_count(), 1)
+        results = {}
+        for fast in (True, False):
+            cfg = _cfg(
+                tmp_path / f"f{fast}",
+                gradient_clip_norm=0.0,
+                fused_backward=fast,
+            )
+            model = create_model("deepfm", packed, cfg, mesh=mesh)
+            tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+            assert tr.sparse_fused is fast
+            batch = tr._put_batch(
+                arr.ids[:32], arr.dense[:32], arr.labels[:32],
+                np.ones((32,), np.float32),
+            )
+            state, l1 = tr._train_step(tr.state, *batch)
+            state, l2 = tr._train_step(state, *batch)
+            results[fast] = (
+                (float(l1), float(l2)),
+                jax.device_get(state.params),
+            )
+        (lf, pf), (ls, ps) = results[True], results[False]
+        assert lf == pytest.approx(ls, rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+
 class TestGating:
     def test_logical_layout_falls_back(self, tmp_path):
         packed, arr = _make_data()
@@ -275,12 +318,13 @@ class TestGating:
         tr = Trainer(model, packed, cfg, arr, arr, arr)
         assert not tr.sparse_fused  # packed tables required
 
-    def test_mesh_falls_back(self, tmp_path):
+    def test_model_sharded_mesh_falls_back(self, tmp_path):
+        """A model axis > 1 keeps the routed-exchange machinery."""
         from deepfm_tpu.parallel import build_mesh
 
         packed, arr = _make_data()
         cfg = _cfg(tmp_path)
-        mesh = build_mesh(jax.device_count(), 1)
+        mesh = build_mesh(jax.device_count() // 2, 2)
         model = create_model("deepfm", packed, cfg, mesh=mesh)
         tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
         assert not tr.sparse_fused

@@ -249,3 +249,71 @@ def test_attention_fmajor_grads_on_hardware(tpu):
             got, want, rtol=3e-2, atol=3e-2 * scale,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_sparse_fused_adam_on_hardware(tpu):
+    """Merged densify+Adam kernel vs the two-pass path ON HARDWARE.
+
+    Interpret mode cannot catch Mosaic layout miscompiles (the CIN
+    sublane-reshape lesson), so the merged kernel's grad accumulation,
+    in-place Adam tail, and SMEM psq accumulation must be checked on
+    the real chip — ragged last tile and heavy duplicates included.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
+    from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+        densify_rows_grad_packed,
+    )
+    from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+        sort_pairs,
+        sorted_segment_sumsq,
+        sparse_table_adam_packed,
+    )
+
+    rng = np.random.default_rng(0)
+    d, pack = 17, 7
+    phys = 10_240 + 128  # ragged vs TILE_PHYS=512
+    V = phys * pack
+    n = 65_536
+    ids = rng.integers(0, V, n).astype(np.int32)
+    ids[:500] = 0  # padding ids (zero cotangent in real training)
+    ids[500:2000] = 777  # hot id: a 1500-deep duplicate run
+    ct = (rng.normal(size=(n, d)) * 0.1).astype(np.float32)
+    p = (rng.normal(size=(phys, 128)) * 0.05).astype(np.float32)
+    mu = (rng.normal(size=(phys, 128)) * 0.01).astype(np.float32)
+    nu = ((rng.normal(size=(phys, 128)) * 0.01) ** 2).astype(np.float32)
+    lr, wd, clip = 1e-3, 2e-5, 1.0
+    step = jnp.asarray(5, jnp.int32)
+
+    g = densify_rows_grad_packed(jnp.asarray(ct), jnp.asarray(ids), V, pack)[
+        :phys
+    ]
+    gn = jnp.sqrt(jnp.sum(jnp.square(g + wd * jnp.asarray(p))))
+    p1, mu1, nu1 = fused_table_adam(
+        jnp.asarray(p), jnp.asarray(mu), jnp.asarray(nu), g,
+        lr, wd, gn, clip, step,
+    )
+
+    sids, ctsT = sort_pairs(jnp.asarray(ids), jnp.asarray(ct))
+    ssq = sorted_segment_sumsq(sids, ctsT)
+    np.testing.assert_allclose(
+        float(ssq), float(jnp.sum(jnp.square(g))), rtol=1e-5
+    )
+    p2, mu2, nu2, psq2 = sparse_table_adam_packed(
+        jnp.asarray(p), jnp.asarray(mu), jnp.asarray(nu), sids, ctsT,
+        lr, wd, gn, clip, step, pack,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu1), np.asarray(mu2), rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(nu1), np.asarray(nu2), rtol=1e-6, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1), np.asarray(p2), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(psq2), float(jnp.sum(jnp.square(p1))), rtol=1e-5
+    )
