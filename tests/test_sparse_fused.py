@@ -214,6 +214,37 @@ class TestTrainerParity:
                     np.asarray(ps["embedding"][name]),
                 )
 
+    @pytest.mark.parametrize("model_name", ["xdeepfm", "attention_deepfm"])
+    def test_other_model_families_match_two_pass(self, tmp_path, model_name):
+        """The fast path is embedding-level — every model family must
+        reproduce its two-pass step (clip off: bit-exact tables)."""
+        packed, arr = _make_data()
+        results = {}
+        for fast in (True, False):
+            cfg = _cfg(
+                tmp_path / f"{model_name}{fast}",
+                fused_backward=fast,
+                gradient_clip_norm=0.0,
+            )
+            model = create_model(model_name, packed, cfg)
+            tr = Trainer(model, packed, cfg, arr, arr, arr)
+            assert tr.sparse_fused is fast
+            ids = jnp.asarray(arr.ids)[:32]
+            dense = jnp.asarray(arr.dense)[:32]
+            lab = jnp.asarray(arr.labels)[:32]
+            w = jnp.ones((32,), jnp.float32)
+            state, l1 = tr._train_step(tr.state, ids, dense, lab, w)
+            state, l2 = tr._train_step(state, ids, dense, lab, w)
+            results[fast] = ((float(l1), float(l2)), jax.device_get(state.params))
+        (lf, pf), (ls, ps) = results[True], results[False]
+        assert lf == pytest.approx(ls, rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
     def test_smoke_train_and_eval(self, tmp_path):
         packed, arr = _make_data()
         cfg = _cfg(tmp_path)
