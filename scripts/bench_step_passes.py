@@ -86,7 +86,8 @@ def timeit(fn, *args, iters=10, warmup=1):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="all",
-                    choices=["all", "gather", "permute", "densify"])
+                    choices=["all", "gather", "permute", "densify",
+                             "sparse_adam"])
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -216,6 +217,73 @@ def main() -> None:
                 print(f"densify TILE={tile} CHUNK={chunk}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
         pgk.TILE_PHYS, pgk.CHUNK, pgk.WIN = 512, 128, 256
+
+    if args.which in ("all", "sparse_adam"):
+        # A/B the fused sparse backward-optimizer against the two-pass
+        # (densify -> decayed-norm sumsq -> fused Adam) chain it
+        # replaces, at bench shapes. p/mu/nu thread through the scan
+        # CARRY so the aliased kernels update in place across
+        # iterations (matching the donated trainer state) instead of
+        # paying a defensive copy per step.
+        from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
+        from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+            densify_rows_grad_packed,
+        )
+        from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+            sort_pairs,
+            sorted_segment_sumsq,
+            sparse_table_adam_packed,
+        )
+
+        rng2 = np.random.default_rng(1)
+        p0 = jnp.asarray(
+            (rng2.normal(size=(PHYS, 128)) * 0.01).astype(np.float32)
+        )
+        mu0 = jnp.zeros((PHYS, 128), jnp.float32)
+        nu0 = jnp.zeros((PHYS, 128), jnp.float32)
+        ct = jnp.asarray(
+            (rng2.normal(size=(n, DCOL)) * 0.1).astype(np.float32)
+        )
+        lr, wd, clip = 1e-3, 2e-5, 1.0
+        step = jnp.asarray(1, jnp.int32)
+
+        def time_update(body, tag, psq_in_carry):
+            @jax.jit
+            def run(p, mu, nu, psq):
+                carry, _ = jax.lax.scan(
+                    body, (p, mu, nu, psq), None, length=10
+                )
+                return carry[0][0, 0]
+
+            _ = run(p0, mu0, nu0, jnp.sum(jnp.square(p0))).item()
+            t0 = time.perf_counter()
+            _ = run(p0, mu0, nu0, jnp.sum(jnp.square(p0))).item()
+            ms = (time.perf_counter() - t0) / 10 * 1e3
+            print(f"table update [{tag}]: {ms:7.2f} ms", flush=True)
+
+        def two_pass(carry, _):
+            p, mu, nu, psq = carry
+            g = densify_rows_grad_packed(ct, ids, PHYS * PACK, PACK)[:PHYS]
+            gn = jnp.sqrt(jnp.sum(jnp.square(g + wd * p)))
+            p, mu, nu = fused_table_adam(
+                p, mu, nu, g, lr, wd, gn, clip, step
+            )
+            return (p, mu, nu, psq), ()
+
+        def merged(carry, _):
+            p, mu, nu, psq = carry
+            sids, ctsT = sort_pairs(ids, ct)
+            ssq = sorted_segment_sumsq(sids, ctsT)
+            # <g, p> stand-in (the trainer reduces ct * gathered_rows,
+            # a 2x29MB elementwise pass — negligible either way)
+            gn = jnp.sqrt(ssq + 2.0 * wd * jnp.sum(ct) + wd * wd * psq)
+            p, mu, nu, psq = sparse_table_adam_packed(
+                p, mu, nu, sids, ctsT, lr, wd, gn, clip, step, PACK
+            )
+            return (p, mu, nu, psq), ()
+
+        time_update(two_pass, "two-pass densify+sumsq+adam", False)
+        time_update(merged, "merged sparse adam", True)
 
 
 if __name__ == "__main__":
