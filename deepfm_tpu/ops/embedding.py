@@ -393,6 +393,7 @@ def gather_group_rows(
     emb_params: dict,
     ids: jax.Array,
     packed_tables: bool,
+    packed_lookup_factory=None,
 ) -> dict[str, tuple[jax.Array, jax.Array]]:
     """Gather each width group's raw table rows OUTSIDE the loss graph.
 
@@ -415,11 +416,14 @@ def gather_group_rows(
         ).reshape(-1)
         table = emb_params[f"table_w{d}"]
         if pack > 1:
-            from deepfm_tpu.ops.pallas.packed_grad_kernel import (
-                make_packed_lookup,
-            )
+            factory = packed_lookup_factory
+            if factory is None:
+                from deepfm_tpu.ops.pallas.packed_grad_kernel import (
+                    make_packed_lookup,
+                )
 
-            rows = make_packed_lookup(d + 1, pack)(table, local)
+                factory = make_packed_lookup
+            rows = factory(d + 1, pack)(table, local)
         else:
             rows = jnp.take(table, local, axis=0)
         out[f"table_w{d}"] = (rows, local)

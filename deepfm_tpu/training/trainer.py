@@ -275,13 +275,34 @@ class Trainer:
         # strategies keep the densify + routed-exchange machinery, and
         # custom lookup injections (sharded factories) change the
         # forward this path must replicate bit-for-bit.
-        self.sparse_fused = (
-            sparse_fused_eligible(config, packed_schema, mesh)
-            and self.fused_tables
-            and getattr(model, "packed_tables", False)
-            and model.lookup_fn is None
-            and getattr(model, "packed_lookup_factory", None) is None
+        _groups_ok = len(packed_schema.lookup_groups) > 0 and all(
+            128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
+            for g in packed_schema.lookup_groups
         )
+        _msize = 1 if mesh is None else mesh.shape.get("model", 1)
+        if _msize == 1:
+            self.sparse_fused = (
+                sparse_fused_eligible(config, packed_schema, mesh)
+                and self.fused_tables
+                and getattr(model, "packed_tables", False)
+                and model.lookup_fn is None
+                and getattr(model, "packed_lookup_factory", None) is None
+            )
+        else:
+            # model-sharded: the strategy factory supplies the (routed /
+            # psum) forward; the merged update runs per slab inside
+            # shard_map on the globally sorted pairs — out-of-slab ids
+            # fall outside every tile's row range and contribute nothing
+            # (kernel-tested)
+            self.sparse_fused = (
+                self.fused_tables
+                and not self.lazy_tables
+                and config.training.fused_backward
+                and getattr(model, "packed_tables", False)
+                and getattr(model, "packed_lookup_factory", None)
+                is not None
+                and _groups_ok
+            )
         self._table_pack = {
             f"table_w{g.width}": 128 // (g.width + 1)
             for g in packed_schema.lookup_groups
@@ -336,6 +357,7 @@ class Trainer:
                     "the model axis (%d)", m,
                 )
                 self.fused_tables = False
+                self.sparse_fused = False
         self.tx = build_optimizer(
             self.config, params, self.mesh, fused=self.fused_tables
         )
@@ -428,7 +450,15 @@ class Trainer:
 
             wd = 2.0 * l2_reg
             emb_params = state.params["embedding"]
-            gathered = gather_group_rows(packed, emb_params, ids, True)
+            gathered = gather_group_rows(
+                packed,
+                emb_params,
+                ids,
+                True,
+                packed_lookup_factory=getattr(
+                    model, "packed_lookup_factory", None
+                ),
+            )
             rows_in = {k: v[0] for k, v in gathered.items()}
 
             def loss_fn(params, rows_dict):
@@ -530,23 +560,58 @@ class Trainer:
             new_params = optax.apply_updates(state.params, updates)
 
             lr = state.opt_state.hyperparams["learning_rate"]
+            m_axis = (
+                self.mesh.shape.get("model", 1)
+                if self.mesh is not None
+                else 1
+            )
+
+            def slab_update(name, p, mu, nu, sids, ctsT):
+                pk = table_pack[name]
+                if m_axis == 1:
+                    return sparse_table_adam_packed(
+                        p, mu, nu, sids, ctsT,
+                        lr, wd, gnorm, clip, state.step, pk,
+                    )
+                # model-sharded: each shard runs the merged kernel on
+                # its slab with the GLOBAL sorted pairs shifted into
+                # slab-local id space; out-of-slab ids fall outside
+                # every tile's row range and contribute nothing, so no
+                # filtering pass is needed. sumsq(p') partials psum
+                # over "model" into the global carry.
+                try:
+                    from jax import shard_map
+                except ImportError:  # pragma: no cover
+                    from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                rows_log = (p.shape[0] // m_axis) * pk
+
+                def body(p_s, mu_s, nu_s, sids_r, cts_r, lr_, gn_, st_):
+                    shard = jax.lax.axis_index("model")
+                    local = sids_r - shard * rows_log
+                    p2, mu2, nu2, psq = sparse_table_adam_packed(
+                        p_s, mu_s, nu_s, local, cts_r,
+                        lr_, wd, gn_, clip, st_, pk,
+                    )
+                    return p2, mu2, nu2, jax.lax.psum(psq, "model")
+
+                row = P("model", None)
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(row, row, row, P(), P(), P(), P(), P()),
+                    out_specs=(row, row, row, P()),
+                    check_vma=False,
+                )(p, mu, nu, sids, ctsT, lr, gnorm, state.step)
+
             new_emb = dict(new_params["embedding"])
             new_table_opt = dict(state.table_opt)
             new_psq = dict(state.table_psq)
             for name, (sids, ctsT) in sorted_cache.items():
                 topt = state.table_opt[name]
-                p2, mu2, nu2, psq2 = sparse_table_adam_packed(
-                    emb_params[name],
-                    topt.mu,
-                    topt.nu,
-                    sids,
-                    ctsT,
-                    lr,
-                    wd,
-                    gnorm,
-                    clip,
-                    state.step,
-                    table_pack[name],
+                p2, mu2, nu2, psq2 = slab_update(
+                    name, emb_params[name], topt.mu, topt.nu, sids, ctsT
                 )
                 new_emb[name] = p2
                 new_table_opt[name] = type(topt)(mu=mu2, nu=nu2)

@@ -333,6 +333,54 @@ class TestDataParallel:
             )
 
 
+class TestModelSharded:
+    def test_model_sharded_fast_matches_two_pass_same_mesh(self, tmp_path):
+        """m=2 mesh: the merged kernel runs per slab inside shard_map on
+        the globally sorted pairs (out-of-slab ids contribute nothing);
+        must match the two-pass routed-exchange step on the SAME mesh.
+        clip=0 keeps the comparison gnorm-independent."""
+        from deepfm_tpu.parallel import build_mesh
+
+        packed, arr = _make_data(n=32)
+        mesh = build_mesh(jax.device_count() // 2, 2)
+        results = {}
+        for fast in (True, False):
+            cfg = _cfg(
+                tmp_path / f"ms{fast}",
+                gradient_clip_norm=0.0,
+                fused_backward=fast,
+            )
+            model = create_model("deepfm", packed, cfg, mesh=mesh)
+            tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+            assert tr.sparse_fused is fast
+            if fast:
+                assert model.packed_tables
+                assert model.packed_lookup_factory is not None
+            batch = tr._put_batch(
+                arr.ids[:32], arr.dense[:32], arr.labels[:32],
+                np.ones((32,), np.float32),
+            )
+            state, l1 = tr._train_step(tr.state, *batch)
+            state, l2 = tr._train_step(state, *batch)
+            results[fast] = (
+                (float(l1), float(l2)),
+                jax.device_get(state.params),
+                jax.device_get(state.table_psq),
+            )
+        (lf, pf, psq), (ls, ps, _) = results[True], results[False]
+        assert lf == pytest.approx(ls, rel=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(pf), jax.tree_util.tree_leaves(ps)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+        # the psum'd psq carry matches a fresh global reduce
+        for name, v in psq.items():
+            want = float(np.sum(np.square(pf["embedding"][name])))
+            assert float(v) == pytest.approx(want, rel=1e-5)
+
+
 class TestGating:
     def test_logical_layout_falls_back(self, tmp_path):
         packed, arr = _make_data()
@@ -349,12 +397,13 @@ class TestGating:
         tr = Trainer(model, packed, cfg, arr, arr, arr)
         assert not tr.sparse_fused  # packed tables required
 
-    def test_model_sharded_mesh_falls_back(self, tmp_path):
-        """A model axis > 1 keeps the routed-exchange machinery."""
+    def test_model_sharded_config_off_falls_back(self, tmp_path):
+        """fused_backward=false on an m>1 mesh keeps the two-pass
+        routed-exchange machinery."""
         from deepfm_tpu.parallel import build_mesh
 
         packed, arr = _make_data()
-        cfg = _cfg(tmp_path)
+        cfg = _cfg(tmp_path, fused_backward=False)
         mesh = build_mesh(jax.device_count() // 2, 2)
         model = create_model("deepfm", packed, cfg, mesh=mesh)
         tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
