@@ -23,6 +23,18 @@ comes from bench.py on the real chip (27.6 ms at batch 16384, round-3).
 Weak scaling: per-chip batch fixed at the bench shape (16384 examples,
 26 sparse fields -> n = 425,984 ids/chip/step).
 
+Fused-backward dimension (round 3): ``training.fused_backward`` merges
+densify+clip+Adam into one Pallas pass, cutting single-chip step time,
+but its backward collective is the FULL (ids, cotangent) all-gather
+over the data axis (trainer.py sparse_fused_step replicates the pairs
+so every replica's merged kernel applies the identical update) — the
+same stream as the psum strategy's two-pass backward, and strictly more
+than the routed (all_to_all) two-pass backward's capacity-bucketed
+exchange. Pass ``--fused-step-ms`` (measured by bench.py with
+fused_backward on) to emit ``<strategy>+fused`` prediction rows; the
+artifact then also reports the dp crossover where the comm penalty
+outweighs the HBM savings (flip training.fused_backward=false there).
+
 Usage: python scripts/analytic_scaling.py [--out outputs/analytic_scaling]
 """
 
@@ -206,6 +218,11 @@ def main() -> None:
     ap.add_argument("--chips-per-host", type=int, default=8)
     ap.add_argument("--dense-params", type=int, default=385_000)
     ap.add_argument("--skip-validate", action="store_true")
+    ap.add_argument("--fused-step-ms", type=float, default=None,
+                    help="measured single-chip step time with "
+                    "training.fused_backward on; adds '<strategy>+fused' "
+                    "rows (backward = full pair all-gather over data) and "
+                    "the fused-vs-two-pass crossover")
     args = ap.parse_args()
 
     n_chip = args.batch * args.fields  # ids per chip per step
@@ -232,8 +249,22 @@ def main() -> None:
            f"{'MiB/chip':>10}{'t_comm ms':>11}{'eff(no-ovl)':>12}"
            f"{'eff(ovl)':>10}")
     print(hdr)
+    # each variant: (label, fwd_fn, bwd_fn, single-chip step ms).
+    # '+fused' rows use the measured fused step time but pay the full
+    # pair all-gather backward regardless of forward strategy.
+    variants = [
+        (strat, fwd_fn, bwd_fn, args.step_ms)
+        for strat, (fwd_fn, bwd_fn) in STRATEGIES.items()
+    ]
+    if args.fused_step_ms is not None:
+        variants += [
+            (f"{strat}+fused", fwd_fn, bwd_allgather_bytes,
+             args.fused_step_ms)
+            for strat, (fwd_fn, _) in STRATEGIES.items()
+        ]
+
     results = []
-    for strat, (fwd_fn, bwd_fn) in STRATEGIES.items():
+    for strat, fwd_fn, bwd_fn, step_ms in variants:
         for chips in (1, 4, 8, 16, 32, 64, 256):
             # model axis: keep tables sharded 8-way once available
             # (vocab scale-out), data parallel for the rest
@@ -249,8 +280,8 @@ def main() -> None:
                 + dense_grad_bytes(dp, args.dense_params)
             )
             t_comm = total_bytes / bw * 1e3  # ms
-            eff_serial = args.step_ms / (args.step_ms + t_comm)
-            eff_overlap = args.step_ms / max(args.step_ms, t_comm)
+            eff_serial = step_ms / (step_ms + t_comm)
+            eff_overlap = step_ms / max(step_ms, t_comm)
             print(f"{strat:<12}{chips:>6}{f'{dp}x{m}':>9}{link:>6}"
                   f"{total_bytes / 2**20:>10.1f}{t_comm:>11.2f}"
                   f"{eff_serial:>12.3f}{eff_overlap:>10.3f}")
@@ -258,10 +289,32 @@ def main() -> None:
                 "strategy": strat, "chips": chips, "mesh": f"{dp}x{m}",
                 "link": link, "bytes_per_chip": total_bytes,
                 "t_comm_ms": t_comm,
+                "step_ms": step_ms,
                 "efficiency_serial": eff_serial,
                 "efficiency_overlapped": eff_overlap,
             })
         print()
+
+    crossover = None
+    if args.fused_step_ms is not None:
+        # fused wins while its HBM savings beat its extra comm; find the
+        # first chip count (all_to_all forward, serialized comm) where
+        # the two-pass routed step is faster end-to-end
+        by = {(r["strategy"], r["chips"]): r for r in results}
+        for chips in (4, 8, 16, 32, 64, 256):
+            a = by.get(("all_to_all", chips))
+            f = by.get(("all_to_all+fused", chips))
+            if a and f:
+                t_two = a["step_ms"] + a["t_comm_ms"]
+                t_fused = f["step_ms"] + f["t_comm_ms"]
+                if t_fused > t_two:
+                    crossover = chips
+                    break
+        msg = (f"two-pass routed overtakes fused at {crossover} chips "
+               "(flip training.fused_backward=false there)"
+               if crossover else
+               "fused backward wins at every modeled chip count")
+        print(f"fused-vs-two-pass crossover: {msg}")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
@@ -274,9 +327,11 @@ def main() -> None:
             "ids_per_chip": n_chip,
             "capacity_factors": {"fwd": FWD_CAP_FACTOR,
                                  "bwd": BWD_CAP_FACTOR},
+            "fused_step_ms_measured": args.fused_step_ms,
         },
         "hlo_validation": validation,
         "predictions": results,
+        "fused_crossover_chips": crossover,
     }, indent=1))
     print(f"written to {out / 'results.json'}")
 
