@@ -495,6 +495,109 @@ def sparse_grad_exchange(
     return lookup
 
 
+def route_sorted_pairs(
+    mesh: Mesh,
+    rows_per_shard: int,
+    capacity_factor: float = 1.5,
+):
+    """Owner-route the (ids, cotangent) stream for the FUSED sparse
+    backward-optimizer (training.fused_backward at model-sharded meshes).
+
+    The replicated fused path all-gathers ALL pairs over "data" and every
+    model shard streams the full payload through its merged kernel (out-
+    of-slab ids no-op). This routes instead, mirroring the two-pass
+    routed exchange (``sparse_grad_exchange(routed=True)``): each device
+    filters the pairs its model column owns (free — ids/cotangents are
+    model-replicated at the exchange boundary), compresses them into a
+    static capacity bucket, all-gathers ONLY those over "data"
+    (~n·d·factor/m bytes/device instead of n·d), then locally sorts and
+    computes its slab's segmented sumsq for the sparse global-norm
+    assembly (psum over "model" -> the exact table term, f32 order
+    aside).
+
+    Returns ``fn(flat_ids (n,), ct (n, dcol)) -> (sids, ctsT, ssq, ovf)``:
+
+      sids  (m·dp·cap,) int32 — SLAB-LOCAL sorted ids, sharded P(model)
+            (each model shard's block is its own slab's routed pairs);
+      ctsT  (dcol, m·dp·cap) f32 — matching cotangent stream, sharded
+            P(None, model);
+      ssq   replicated scalar — sum over slabs of segsumsq (exact iff
+            not ovf);
+      ovf   replicated bool, or None when capacity == n_loc (statically
+            overflow-free). On ovf the caller must fall back to the
+            replicated path: dropped pairs are missing from BOTH the
+            pairs and ssq.
+
+    Requires n % dp == 0 (static train batches guarantee it; callers
+    fall back to the replicated path otherwise).
+    """
+    m = mesh.shape[AXIS_MODEL]
+    dp = mesh.shape[AXIS_DATA]
+    assert m > 1, "routing is the m>1 path"
+
+    def fn(flat_ids: jax.Array, ct: jax.Array):
+        from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+            sort_pairs,
+            sorted_segment_sumsq,
+        )
+
+        n = flat_ids.shape[0]
+        assert n % dp == 0, f"id stream {n} does not split over data={dp}"
+        n_loc = n // dp
+        cap = min(n_loc, max(8, int(capacity_factor * -(-n_loc // m))))
+        static_fit = cap >= n_loc
+
+        def body(ids_loc, ct_loc):
+            me = jax.lax.axis_index(AXIS_MODEL)
+            local = ids_loc.astype(jnp.int32) - me * rows_per_shard
+            ok = (local >= 0) & (local < rows_per_shard)
+            order = jnp.argsort(jnp.logical_not(ok))  # owned first
+            sids0 = jnp.where(ok, local, 0)[order][:cap]
+            ct0 = (ct_loc * ok[:, None].astype(ct_loc.dtype))[order][:cap]
+            if static_fit:
+                ovf = None
+            else:
+                ovf_l = jnp.any(ok[order][cap:])
+                ovf = (
+                    jax.lax.psum(
+                        ovf_l.astype(jnp.int32), (AXIS_DATA, AXIS_MODEL)
+                    )
+                    > 0
+                )
+            if dp > 1:
+                rids = jax.lax.all_gather(
+                    sids0, AXIS_DATA, axis=0, tiled=True
+                )
+                rct = jax.lax.all_gather(
+                    ct0, AXIS_DATA, axis=0, tiled=True
+                )
+            else:
+                rids, rct = sids0, ct0
+            sids, ctsT = sort_pairs(rids, rct)
+            ssq = jax.lax.psum(
+                sorted_segment_sumsq(sids, ctsT), AXIS_MODEL
+            )
+            if ovf is None:
+                return sids, ctsT, ssq
+            return sids, ctsT, ssq, ovf
+
+        out_specs = (P(AXIS_MODEL), P(None, AXIS_MODEL), P())
+        if not static_fit:
+            out_specs = out_specs + (P(),)
+        out = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(AXIS_DATA), P(AXIS_DATA, None)),
+            out_specs=out_specs,
+            check_vma=False,
+        )(flat_ids, ct)
+        if static_fit:
+            return out[0], out[1], out[2], None
+        return out
+
+    return fn
+
+
 def make_lookup_fn(mesh: Mesh | None, strategy: str = "psum"):
     """Factory: strategy name -> LOGICAL-layout lookup_fn (None = default
     XLA gather).

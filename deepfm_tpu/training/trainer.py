@@ -497,6 +497,37 @@ class Trainer:
             # rows are the forward's residuals and sumsq(p) is the
             # scalar last step's kernel emitted. Only the f32 summation
             # ORDER differs from the dense reduce (O(1e-7) relative).
+            m_ax = (
+                self.mesh.shape.get("model", 1)
+                if self.mesh is not None
+                else 1
+            )
+            dp_ax = (
+                self.mesh.shape.get("data", 1)
+                if self.mesh is not None
+                else 1
+            )
+            # model-sharded + all_to_all strategy: owner-route the pairs
+            # (mirrors the two-pass routed exchange) instead of
+            # replicating them — each slab's merged kernel then streams
+            # ~n·factor/m pairs, and the data all-gather shrinks by the
+            # same factor. Exact fallback to the replicated path under a
+            # lax.cond when a capacity bucket overflows.
+            use_routed = (
+                m_ax > 1
+                and self.config.mesh.embedding_strategy == "all_to_all"
+            )
+
+            def _replicate(fids, ct):
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                return (
+                    jax.lax.with_sharding_constraint(fids, rep),
+                    jax.lax.with_sharding_constraint(ct, rep),
+                )
+
             sorted_cache = {}
             table_sq = {}
             for name, (rows, fids) in gathered.items():
@@ -505,22 +536,45 @@ class Trainer:
                 # partials); computing it after replication would drag
                 # the rows through the all-gather too
                 dotgp = jnp.sum(ct * rows)
-                if self.mesh is not None:
-                    # pure DP: replicate the (ids, ct) pairs so every
-                    # replica's merged kernel applies the identical
-                    # full-batch update to its table copy — one
-                    # all-gather over "data" of n*(4+4*(d+1)) bytes,
-                    # the same stream sparse_grad_exchange moves on
-                    # the two-pass path
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
+                if use_routed and fids.shape[0] % dp_ax == 0:
+                    from deepfm_tpu.parallel.embedding_shard import (
+                        route_sorted_pairs,
+                    )
 
-                    rep = NamedSharding(self.mesh, P())
-                    fids = jax.lax.with_sharding_constraint(fids, rep)
-                    ct = jax.lax.with_sharding_constraint(ct, rep)
-                sids, ctsT = sort_pairs(fids, ct)
-                sorted_cache[name] = (sids, ctsT)
-                ssq_g = sorted_segment_sumsq(sids, ctsT)
+                    pk = table_pack[name]
+                    rows_log = (
+                        state.params["embedding"][name].shape[0] // m_ax
+                    ) * pk
+                    sids_r, ctsT_r, ssq_r, ovf = route_sorted_pairs(
+                        self.mesh, rows_log
+                    )(fids, ct)
+                    if ovf is None:
+                        ssq_g = ssq_r
+                    else:
+                        # dropped pairs are missing from ssq_r too —
+                        # recompute exactly from the replicated stream
+                        def _exact_ssq(_, fids=fids, ct=ct):
+                            f2, c2 = _replicate(fids, ct)
+                            return sorted_segment_sumsq(*sort_pairs(f2, c2))
+
+                        ssq_g = jax.lax.cond(
+                            ovf, _exact_ssq, lambda _: ssq_r, 0
+                        )
+                    sorted_cache[name] = (
+                        "routed", sids_r, ctsT_r, ovf, fids, ct
+                    )
+                else:
+                    if self.mesh is not None:
+                        # replicate the (ids, ct) pairs so every
+                        # replica's merged kernel applies the identical
+                        # full-batch update to its table copy — one
+                        # all-gather over "data" of n*(4+4*(d+1)) bytes,
+                        # the same stream sparse_grad_exchange moves on
+                        # the two-pass path
+                        fids, ct = _replicate(fids, ct)
+                    sids, ctsT = sort_pairs(fids, ct)
+                    sorted_cache[name] = ("rep", sids, ctsT)
+                    ssq_g = sorted_segment_sumsq(sids, ctsT)
                 table_sq[name] = (
                     ssq_g
                     + 2.0 * wd * dotgp
@@ -605,14 +659,74 @@ class Trainer:
                     check_vma=False,
                 )(p, mu, nu, sids, ctsT, lr, gnorm, state.step)
 
+            def routed_slab_update(name, p, mu, nu, sids_r, ctsT_r):
+                # routed pairs arrive pre-partitioned P(model) in
+                # slab-local id space — each shard's kernel streams only
+                # its own ~n·factor/m block; no shifting, no filtering
+                pk = table_pack[name]
+                try:
+                    from jax import shard_map
+                except ImportError:  # pragma: no cover
+                    from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def body(p_s, mu_s, nu_s, sids_s, cts_s, lr_, gn_, st_):
+                    p2, mu2, nu2, psq = sparse_table_adam_packed(
+                        p_s, mu_s, nu_s, sids_s, cts_s,
+                        lr_, wd, gn_, clip, st_, pk,
+                    )
+                    return p2, mu2, nu2, jax.lax.psum(psq, "model")
+
+                row = P("model", None)
+                return shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(
+                        row, row, row,
+                        P("model"), P(None, "model"), P(), P(), P(),
+                    ),
+                    out_specs=(row, row, row, P()),
+                    check_vma=False,
+                )(p, mu, nu, sids_r, ctsT_r, lr, gnorm, state.step)
+
             new_emb = dict(new_params["embedding"])
             new_table_opt = dict(state.table_opt)
             new_psq = dict(state.table_psq)
-            for name, (sids, ctsT) in sorted_cache.items():
+            for name, entry in sorted_cache.items():
                 topt = state.table_opt[name]
-                p2, mu2, nu2, psq2 = slab_update(
-                    name, emb_params[name], topt.mu, topt.nu, sids, ctsT
-                )
+                if entry[0] == "rep":
+                    _, sids, ctsT = entry
+                    p2, mu2, nu2, psq2 = slab_update(
+                        name, emb_params[name], topt.mu, topt.nu,
+                        sids, ctsT,
+                    )
+                else:
+                    _, sids_r, ctsT_r, ovf, fids, ct = entry
+
+                    def _routed(_, name=name, topt=topt,
+                                sids_r=sids_r, ctsT_r=ctsT_r):
+                        return routed_slab_update(
+                            name, emb_params[name], topt.mu, topt.nu,
+                            sids_r, ctsT_r,
+                        )
+
+                    if ovf is None:
+                        p2, mu2, nu2, psq2 = _routed(0)
+                    else:
+                        # capacity overflow (rare, skew-dependent):
+                        # replicate + global sort + shifted-slab kernel,
+                        # the exact replicated path
+                        def _fallback(_, name=name, topt=topt,
+                                      fids=fids, ct=ct):
+                            f2, c2 = _replicate(fids, ct)
+                            return slab_update(
+                                name, emb_params[name],
+                                topt.mu, topt.nu, *sort_pairs(f2, c2),
+                            )
+
+                        p2, mu2, nu2, psq2 = jax.lax.cond(
+                            ovf, _fallback, _routed, 0
+                        )
                 new_emb[name] = p2
                 new_table_opt[name] = type(topt)(mu=mu2, nu=nu2)
                 new_psq[name] = psq2

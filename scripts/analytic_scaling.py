@@ -24,16 +24,16 @@ Weak scaling: per-chip batch fixed at the bench shape (16384 examples,
 26 sparse fields -> n = 425,984 ids/chip/step).
 
 Fused-backward dimension (round 3): ``training.fused_backward`` merges
-densify+clip+Adam into one Pallas pass, cutting single-chip step time,
-but its backward collective is the FULL (ids, cotangent) all-gather
-over the data axis (trainer.py sparse_fused_step replicates the pairs
-so every replica's merged kernel applies the identical update) — the
-same stream as the psum strategy's two-pass backward, and strictly more
-than the routed (all_to_all) two-pass backward's capacity-bucketed
-exchange. Pass ``--fused-step-ms`` (measured by bench.py with
-fused_backward on) to emit ``<strategy>+fused`` prediction rows; the
-artifact then also reports the dp crossover where the comm penalty
-outweighs the HBM savings (flip training.fused_backward=false there).
+densify+clip+Adam into one Pallas pass, cutting single-chip step time.
+Its backward collective depends on the strategy: under "psum" the
+(ids, cotangent) pairs replicate — the full all-gather over data, the
+same stream as the psum two-pass backward; under "all_to_all" the
+pairs are owner-routed (``route_sorted_pairs``: local filter +
+capacity-bucket all-gather), the SAME traffic as the routed two-pass
+backward — so the fused path no longer gives up the routed savings.
+Pass ``--fused-step-ms`` (measured by bench.py with fused_backward on)
+to emit ``<strategy>+fused`` prediction rows and the crossover check
+(with routing it should report "fused wins at every modeled count").
 
 Usage: python scripts/analytic_scaling.py [--out outputs/analytic_scaling]
 """
@@ -257,10 +257,12 @@ def main() -> None:
         for strat, (fwd_fn, bwd_fn) in STRATEGIES.items()
     ]
     if args.fused_step_ms is not None:
+        # psum+fused replicates the pairs (full all-gather);
+        # all_to_all+fused owner-routes them (route_sorted_pairs) —
+        # same bytes as the two-pass routed backward
         variants += [
-            (f"{strat}+fused", fwd_fn, bwd_allgather_bytes,
-             args.fused_step_ms)
-            for strat, (fwd_fn, _) in STRATEGIES.items()
+            (f"{strat}+fused", fwd_fn, bwd_fn, args.fused_step_ms)
+            for strat, (fwd_fn, bwd_fn) in STRATEGIES.items()
         ]
 
     results = []
