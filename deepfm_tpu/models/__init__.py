@@ -111,11 +111,24 @@ def create_model(
             import jax
 
             if jax.default_backend() == "tpu":
-                from deepfm_tpu.ops.pallas.grad_kernel import (
-                    sparse_grad_lookup,
+                from deepfm_tpu.training.trainer import (
+                    sparse_fused_eligible,
                 )
 
-                lookup_fn = sparse_grad_lookup
+                # when the fused sparse backward-optimizer will take the
+                # table path (all groups packable), this lookup would
+                # never serve a group — and its mere presence used to
+                # trip the trainer's "no custom lookup" gate, silently
+                # disabling the fused path on REAL TPU backends (CPU
+                # tests never install it, so only hardware ran the
+                # two-pass chain). Skip the injection so the gate and
+                # eligibility agree.
+                if not sparse_fused_eligible(config, packed, mesh):
+                    from deepfm_tpu.ops.pallas.grad_kernel import (
+                        sparse_grad_lookup,
+                    )
+
+                    lookup_fn = sparse_grad_lookup
     return MODEL_REGISTRY[name](
         packed=packed,
         config=config,

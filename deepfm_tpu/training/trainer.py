@@ -715,7 +715,12 @@ class Trainer:
                     else:
                         # capacity overflow (rare, skew-dependent):
                         # replicate + global sort + shifted-slab kernel,
-                        # the exact replicated path
+                        # the exact replicated path. The _exact_ssq cond
+                        # above repeats the replicate+sort — sharing it
+                        # would force the no-overflow branch to emit
+                        # (n,)/(d, n) dummies every step (cond branches
+                        # must match shapes), a full-stream write on the
+                        # COMMON path to save work on the rare one.
                         def _fallback(_, name=name, topt=topt,
                                       fids=fids, ct=ct):
                             f2, c2 = _replicate(fids, ct)

@@ -221,8 +221,9 @@ def main() -> None:
     ap.add_argument("--fused-step-ms", type=float, default=None,
                     help="measured single-chip step time with "
                     "training.fused_backward on; adds '<strategy>+fused' "
-                    "rows (backward = full pair all-gather over data) and "
-                    "the fused-vs-two-pass crossover")
+                    "rows (psum+fused replicates the pairs, "
+                    "all_to_all+fused owner-routes them — the two-pass "
+                    "routed backward's bytes) and the crossover check")
     args = ap.parse_args()
 
     n_chip = args.batch * args.fields  # ids per chip per step

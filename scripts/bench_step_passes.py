@@ -247,11 +247,18 @@ def main() -> None:
         lr, wd, clip = 1e-3, 2e-5, 1.0
         step = jnp.asarray(1, jnp.int32)
 
-        def time_update(body, tag, psq_in_carry):
+        def time_update(body, tag):
+            # the iteration counter k rolls (ids, ct) each step — the
+            # SAME pair multiset (identical numerics), but no longer
+            # loop-invariant, so XLA cannot hoist the sort / segsumsq /
+            # densify out of the scan (it DID hoist the constant-input
+            # sort, which silently excluded the merged path's prologue
+            # from the timing). The roll costs two ~30 MB stream copies
+            # per iteration, identical for both variants.
             @jax.jit
             def run(p, mu, nu, psq):
                 carry, _ = jax.lax.scan(
-                    body, (p, mu, nu, psq), None, length=10
+                    body, (p, mu, nu, psq, jnp.int32(0)), None, length=10
                 )
                 return carry[0][0, 0]
 
@@ -262,28 +269,32 @@ def main() -> None:
             print(f"table update [{tag}]: {ms:7.2f} ms", flush=True)
 
         def two_pass(carry, _):
-            p, mu, nu, psq = carry
-            g = densify_rows_grad_packed(ct, ids, PHYS * PACK, PACK)[:PHYS]
+            p, mu, nu, psq, k = carry
+            ids_k = jnp.roll(ids, k)
+            ct_k = jnp.roll(ct, k, axis=0)
+            g = densify_rows_grad_packed(ct_k, ids_k, PHYS * PACK, PACK)[:PHYS]
             gn = jnp.sqrt(jnp.sum(jnp.square(g + wd * p)))
             p, mu, nu = fused_table_adam(
                 p, mu, nu, g, lr, wd, gn, clip, step
             )
-            return (p, mu, nu, psq), ()
+            return (p, mu, nu, psq, k + 1), ()
 
         def merged(carry, _):
-            p, mu, nu, psq = carry
-            sids, ctsT = sort_pairs(ids, ct)
+            p, mu, nu, psq, k = carry
+            ids_k = jnp.roll(ids, k)
+            ct_k = jnp.roll(ct, k, axis=0)
+            sids, ctsT = sort_pairs(ids_k, ct_k)
             ssq = sorted_segment_sumsq(sids, ctsT)
             # <g, p> stand-in (the trainer reduces ct * gathered_rows,
             # a 2x29MB elementwise pass — negligible either way)
-            gn = jnp.sqrt(ssq + 2.0 * wd * jnp.sum(ct) + wd * wd * psq)
+            gn = jnp.sqrt(ssq + 2.0 * wd * jnp.sum(ct_k) + wd * wd * psq)
             p, mu, nu, psq = sparse_table_adam_packed(
                 p, mu, nu, sids, ctsT, lr, wd, gn, clip, step, PACK
             )
-            return (p, mu, nu, psq), ()
+            return (p, mu, nu, psq, k + 1), ()
 
-        time_update(two_pass, "two-pass densify+sumsq+adam", False)
-        time_update(merged, "merged sparse adam", True)
+        time_update(two_pass, "two-pass densify+sumsq+adam")
+        time_update(merged, "merged sparse adam")
 
 
 if __name__ == "__main__":

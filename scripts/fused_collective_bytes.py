@@ -1,6 +1,7 @@
 """Collective traffic of the FUSED sparse backward at model-sharded meshes.
 
-Compiles the full jitted train step on a virtual 4x2 CPU mesh for four
+Compiles the full jitted train step on a virtual CPU mesh (default
+2x4 data x model; --dp/--m to change) for four
 backward variants and reports each program's exact collective inventory
 (ops + bytes/step from optimized HLO):
 
@@ -135,7 +136,8 @@ def main() -> None:
         json.dumps(
             {
                 "kind": "HLO collective inventory, full train step, "
-                "virtual 4x2 CPU mesh (exact, hardware-independent)",
+                f"virtual {args.dp}x{args.m} (data x model) CPU mesh "
+                "(exact, hardware-independent)",
                 "batch": batch,
                 "mesh": {"data": args.dp, "model": args.m},
                 "rows": rows,

@@ -416,6 +416,41 @@ class TestGating:
         tr = Trainer(model, packed, cfg, arr, arr, arr)
         assert not tr.sparse_fused
 
+    def test_tpu_backend_engages_fused_path(self, tmp_path, monkeypatch):
+        """REGRESSION: on a real TPU backend create_model used to inject
+        the grad-kernel lookup (which the fused path never consults when
+        every group is packable), tripping the trainer's 'no custom
+        lookup' gate — training.fused_backward was silently inert on
+        hardware while every CPU test passed. Simulate the TPU backend
+        and assert the gate chain holds for single-device AND pure-DP."""
+        import jax as _jax
+
+        from deepfm_tpu.parallel import build_mesh
+
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("DEEPFM_TPU_FORCE_FUSED_ADAM", raising=False)
+        packed, arr = _make_data()
+
+        cfg = _cfg(tmp_path / "single")
+        model = create_model("deepfm", packed, cfg)
+        assert model.lookup_fn is None, (
+            "fused-eligible config must keep the default packed gather"
+        )
+        tr = Trainer(model, packed, cfg, arr, arr, arr)
+        assert tr.sparse_fused
+
+        mesh = build_mesh(jax.device_count(), 1)  # pure DP
+        cfg2 = _cfg(tmp_path / "dp")
+        model2 = create_model("deepfm", packed, cfg2, mesh=mesh)
+        assert model2.lookup_fn is None
+        tr2 = Trainer(model2, packed, cfg2, arr, arr, arr, mesh=mesh)
+        assert tr2.sparse_fused
+
+        # ineligible config (fused off) still gets the grad-kernel lookup
+        cfg3 = _cfg(tmp_path / "off", fused_backward=False)
+        model3 = create_model("deepfm", packed, cfg3)
+        assert model3.lookup_fn is not None
+
     def test_rows_override_forward_matches(self, tmp_path):
         """rows_override reproduces the in-graph forward bit-for-bit."""
         from deepfm_tpu.ops.embedding import gather_group_rows
