@@ -196,6 +196,7 @@ def main() -> None:
     models = [m for m in args.models.split(",") if m]
 
     values = {}
+    degraded = {}
     for name in models:
         try:
             values[name] = bench_tpu(
@@ -218,6 +219,9 @@ def main() -> None:
                 moments_dtype=args.moments_dtype,
                 fused_backward=not args.no_fused_backward,
             )
+            # mark the JSON line itself — a stderr note alone let a
+            # kernel crash ship as an unexplained "slowdown"
+            degraded[name] = f"{type(e).__name__}: model-tower kernels off"
 
     baseline = None
     if args.remeasure_baseline:
@@ -228,16 +232,15 @@ def main() -> None:
     for name in models:
         value = values[name]
         vs = value / baseline if baseline else 1.0
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_train_step_throughput",
-                    "value": round(value, 1),
-                    "unit": "examples/sec/chip",
-                    "vs_baseline": round(vs, 2),
-                }
-            )
-        )
+        line = {
+            "metric": f"{name}_train_step_throughput",
+            "value": round(value, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": round(vs, 2),
+        }
+        if name in degraded:
+            line["degraded"] = degraded[name]
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -112,6 +112,18 @@ class TrainingConfig:
     # the densify + fused-Adam two-pass path.
     fused_backward: bool = True
 
+    def __post_init__(self):
+        if self.moments_dtype not in ("float32", "bfloat16"):
+            # fail at config time, not deep inside state init — and keep
+            # unvetted dtypes (e.g. float16 moments were never A/B'd)
+            # out of the storage path
+            # ConfigError is defined below at module level; __post_init__
+            # runs at construction time, after the module has loaded
+            raise ConfigError(
+                "training.moments_dtype must be 'float32' or 'bfloat16', "
+                f"got {self.moments_dtype!r}"
+            )
+
 
 @dataclass(frozen=True)
 class MeshConfig:

@@ -321,14 +321,19 @@ def fmajor_eligible(batch: int, F: int, d: int, a: int, H: int,
                     itemsize: int) -> bool:
     """True when the feature-major kernels can run these shapes.
 
-    On CPU the kernels run in interpret mode with a single whole-batch
-    tile, so only the dimension constraints apply (keeps the CPU test
-    suite exercising the same code path the TPU takes).
+    On CPU the kernels would run in INTERPRET mode — a serial fori_loop
+    over F per block, orders of magnitude slower than the XLA tower —
+    so real CPU runs (e.g. evaluating a TPU-trained checkpoint on a CPU
+    host) take the oracle path. Tests opt in with
+    DEEPFM_TPU_FORCE_ATTN_KERNEL=1 (set by tests/conftest.py) to keep
+    the CPU suite exercising the same code path the TPU takes.
     """
     if a % H != 0 or (a // H) % 8 != 0 or a % 8 != 0 or d % 8 != 0:
         return False
     if jax.default_backend() == "cpu":
-        return True
+        import os
+
+        return os.environ.get("DEEPFM_TPU_FORCE_ATTN_KERNEL") == "1"
     return fmajor_tile(batch, F, d, a, H, itemsize) is not None
 
 

@@ -152,6 +152,53 @@ def _densify_kernel(
     jax.lax.fori_loop(1, nchunks, body, 0)
 
 
+def build_sorted_stream(sids, valsT, pack, num_tiles, pr, n_pad):
+    """Kernel-input stream from the SORTED (ids, f32 values) pairs.
+
+    Returns (meta (8, n_pad) f32, pay_t (pr, n_pad) bf16, starts,
+    counts): meta rows 0/1 carry phys-row / sub-slot per pair (sentinel
+    phys + sub -1 padding), pay_t the 3-way bf16 mantissa split of the
+    transposed value stream (exact f32 reconstruction), starts/counts
+    the per-tile pair windows via searchsorted. BOTH the standalone
+    densify and the merged sparse-Adam kernel consume exactly this
+    format — their bit-equal gradient accumulation depends on one
+    builder, so keep it single-sourced.
+    """
+    n = sids.shape[0]
+    d = valsT.shape[0]
+    sentinel = float(num_tiles * TILE_PHYS)
+
+    phys = (sids // pack).astype(jnp.float32)
+    sub = (sids % pack).astype(jnp.float32)
+
+    meta = jnp.zeros((8, n_pad), jnp.float32)
+    meta = meta.at[0, :].set(sentinel)
+    meta = meta.at[1, :].set(-1.0)
+    meta = meta.at[0, :n].set(phys)
+    meta = meta.at[1, :n].set(sub)
+
+    bits = jax.lax.bitcast_convert_type(valsT, jnp.uint32)
+    t16 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFF0000), jnp.float32
+    )
+    t24 = jax.lax.bitcast_convert_type(
+        bits & np.uint32(0xFFFFFF00), jnp.float32
+    )
+    pay_t = jnp.zeros((pr, n_pad), jnp.bfloat16)
+    pay_t = pay_t.at[:d, :n].set(t16.astype(jnp.bfloat16))
+    pay_t = pay_t.at[d : 2 * d, :n].set((t24 - t16).astype(jnp.bfloat16))
+    pay_t = pay_t.at[2 * d : 3 * d, :n].set(
+        (valsT - t24).astype(jnp.bfloat16)
+    )
+
+    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_PHYS
+    edges = jnp.searchsorted(
+        phys.astype(jnp.int32), bounds
+    ).astype(jnp.int32)
+    starts, ends = edges[:-1], edges[1:]
+    return meta, pay_t, starts, ends - starts
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def densify_rows_grad_packed(
     ct: jax.Array, ids: jax.Array, num_rows: int, pack: int
@@ -177,35 +224,9 @@ def densify_rows_grad_packed(
     num_tiles = pl.cdiv(num_phys, TILE_PHYS)
     pr = _pad(3 * d, 16)
     n_pad = _pad(n, CHUNK) + WIN
-    sentinel = float(num_tiles * TILE_PHYS)
-
-    phys = (sids // pack).astype(jnp.float32)
-    sub = (sids % pack).astype(jnp.float32)
-
-    meta = jnp.zeros((8, n_pad), jnp.float32)
-    meta = meta.at[0, :].set(sentinel)
-    meta = meta.at[1, :].set(-1.0)
-    meta = meta.at[0, :n].set(phys)
-    meta = meta.at[1, :n].set(sub)
-
-    bits = jax.lax.bitcast_convert_type(grows, jnp.uint32)
-    t16 = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFF0000), jnp.float32
+    meta, pay_t, starts, counts = build_sorted_stream(
+        sids, grows, pack, num_tiles, pr, n_pad
     )
-    t24 = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFFFF00), jnp.float32
-    )
-    pay_t = jnp.zeros((pr, n_pad), jnp.bfloat16)
-    pay_t = pay_t.at[:d, :n].set(t16.astype(jnp.bfloat16))
-    pay_t = pay_t.at[d : 2 * d, :n].set((t24 - t16).astype(jnp.bfloat16))
-    pay_t = pay_t.at[2 * d : 3 * d, :n].set((grows - t24).astype(jnp.bfloat16))
-
-    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_PHYS
-    edges = jnp.searchsorted(
-        phys.astype(jnp.int32), bounds
-    ).astype(jnp.int32)
-    starts, ends = edges[:-1], edges[1:]
-    counts = ends - starts
 
     win_a = lambda t, s, c: (0, s[t] // CHUNK)  # noqa: E731
     win_b = lambda t, s, c: (0, s[t] // CHUNK + 1)  # noqa: E731

@@ -60,13 +60,13 @@ from jax.experimental.pallas import tpu as pltpu
 from deepfm_tpu.ops.pallas.packed_grad_kernel import (
     CHUNK,
     LANES,
+    MAX_ROWS_F32,
     TILE_PHYS,
     WIN,
     _accumulate,
     _pad,
+    build_sorted_stream,
 )
-
-MAX_ROWS_F32 = 1 << 24
 
 
 def _sparse_adam_kernel(
@@ -269,35 +269,9 @@ def sparse_table_adam_packed(
     num_tiles = pl.cdiv(phys, TILE_PHYS)
     pr = _pad(3 * d, 16)
     n_pad = _pad(n, CHUNK) + WIN
-    sentinel = float(num_tiles * TILE_PHYS)
-
-    phys_f = (sids // pack).astype(jnp.float32)
-    sub = (sids % pack).astype(jnp.float32)
-
-    meta = jnp.zeros((8, n_pad), jnp.float32)
-    meta = meta.at[0, :].set(sentinel)
-    meta = meta.at[1, :].set(-1.0)
-    meta = meta.at[0, :n].set(phys_f)
-    meta = meta.at[1, :n].set(sub)
-
-    bits = jax.lax.bitcast_convert_type(ctsT, jnp.uint32)
-    t16 = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFF0000), jnp.float32
+    meta, pay_t, starts, counts = build_sorted_stream(
+        sids, ctsT, pack, num_tiles, pr, n_pad
     )
-    t24 = jax.lax.bitcast_convert_type(
-        bits & np.uint32(0xFFFFFF00), jnp.float32
-    )
-    pay_t = jnp.zeros((pr, n_pad), jnp.bfloat16)
-    pay_t = pay_t.at[:d, :n].set(t16.astype(jnp.bfloat16))
-    pay_t = pay_t.at[d : 2 * d, :n].set((t24 - t16).astype(jnp.bfloat16))
-    pay_t = pay_t.at[2 * d : 3 * d, :n].set((ctsT - t24).astype(jnp.bfloat16))
-
-    bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32) * TILE_PHYS
-    edges = jnp.searchsorted(
-        phys_f.astype(jnp.int32), bounds
-    ).astype(jnp.int32)
-    starts, ends = edges[:-1], edges[1:]
-    counts = ends - starts
 
     # index maps receive all 3 scalar-prefetch operands after the grid id
     win_a = lambda t, s, c, sc: (0, s[t] // CHUNK)  # noqa: E731

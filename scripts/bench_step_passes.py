@@ -198,6 +198,7 @@ def main() -> None:
         ct = jnp.asarray(
             rng.normal(size=(n, DCOL)).astype(np.float32)
         )
+        saved = (pgk.TILE_PHYS, pgk.CHUNK, pgk.WIN)
         for tile, chunk in [(512, 128), (1024, 128), (512, 256),
                             (1024, 256), (2048, 128)]:
             pgk.TILE_PHYS, pgk.CHUNK = tile, chunk
@@ -216,7 +217,8 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"densify TILE={tile} CHUNK={chunk}: FAILED "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
-        pgk.TILE_PHYS, pgk.CHUNK, pgk.WIN = 512, 128, 256
+        pgk.TILE_PHYS, pgk.CHUNK, pgk.WIN = saved
+        pgk.densify_rows_grad_packed.clear_cache()
 
     if args.which in ("all", "sparse_adam"):
         # A/B the fused sparse backward-optimizer against the two-pass

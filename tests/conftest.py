@@ -8,6 +8,10 @@ real-TPU path is exercised by bench.py and the driver's compile checks.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Interpret-mode Pallas attention is opt-in on CPU (real CPU runs take
+# the fast XLA tower); the suite opts in so the kernel path stays
+# covered without a TPU.
+os.environ.setdefault("DEEPFM_TPU_FORCE_ATTN_KERNEL", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

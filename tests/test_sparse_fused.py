@@ -8,7 +8,6 @@ sumsq helper (vs the dense reduce), the trainer A/B, the carried
 sumsq(p), eligibility gating, and restore paths.
 """
 
-import os
 import sys
 
 import jax
@@ -23,10 +22,6 @@ from deepfm_tpu.config import config_from_dict  # noqa: E402
 from deepfm_tpu.data.packing import pack_features, pack_schema  # noqa: E402
 from deepfm_tpu.models import create_model  # noqa: E402
 from deepfm_tpu.training.trainer import Trainer  # noqa: E402
-
-
-def _force_fused():
-    os.environ["DEEPFM_TPU_FORCE_FUSED_ADAM"] = "1"
 
 
 @pytest.fixture(autouse=True)
