@@ -318,7 +318,9 @@ def make_a2a_lookup_packed(
 
 def _densify_logical(ct, ids, num_rows):
     """Backend-appropriate dense (num_rows, d) cotangent from rows+ids."""
-    if jax.default_backend() == "tpu" and num_rows < (1 << 24):
+    from deepfm_tpu.ops.pallas.packed_grad_kernel import MAX_ROWS_F32
+
+    if jax.default_backend() == "tpu" and num_rows < MAX_ROWS_F32:
         from deepfm_tpu.ops.pallas.grad_kernel import densify_rows_grad
 
         return densify_rows_grad(ct, ids, num_rows)

@@ -34,6 +34,7 @@ import optax
 from flax import struct
 
 from deepfm_tpu.config import ExperimentConfig
+from deepfm_tpu.ops.pallas.packed_grad_kernel import MAX_ROWS_F32
 from deepfm_tpu.data.packing import PackedArrays, PackedSchema
 from deepfm_tpu.models.base import CTRModel, embedding_l2_loss
 from deepfm_tpu.training.metrics import (
@@ -108,7 +109,7 @@ def sparse_fused_eligible(config, packed_schema, mesh=None) -> bool:
         return False
     groups = packed_schema.lookup_groups
     return len(groups) > 0 and all(
-        128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
+        128 // (g.width + 1) > 1 and g.total_rows < MAX_ROWS_F32
         for g in groups
     )
 
@@ -276,7 +277,7 @@ class Trainer:
         # custom lookup injections (sharded factories) change the
         # forward this path must replicate bit-for-bit.
         _groups_ok = len(packed_schema.lookup_groups) > 0 and all(
-            128 // (g.width + 1) > 1 and g.total_rows < (1 << 24)
+            128 // (g.width + 1) > 1 and g.total_rows < MAX_ROWS_F32
             for g in packed_schema.lookup_groups
         )
         _msize = 1 if mesh is None else mesh.shape.get("model", 1)
