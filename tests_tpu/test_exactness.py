@@ -317,3 +317,51 @@ def test_sparse_fused_adam_on_hardware(tpu):
     np.testing.assert_allclose(
         float(psq2), float(jnp.sum(jnp.square(p1))), rtol=1e-5
     )
+
+
+def test_trainer_gate_engages_fused_path_on_hardware(tpu, tmp_path):
+    """REGRESSION (round 3): on the real TPU backend create_model used
+    to inject the grad-kernel lookup, and the trainer's 'no custom
+    lookup' gate silently kept training.fused_backward on the two-pass
+    path — every CPU test passed (they force the env var), only
+    hardware diverged. Assert the default config engages the fused
+    sparse backward end to end through create_model + Trainer, and one
+    real step runs."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from conftest import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    assert os.environ.get("DEEPFM_TPU_FORCE_FUSED_ADAM") != "1", (
+        "this test must exercise the REAL backend gate"
+    )
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 64, seed=3)
+    arr = pack_features(packed, feats, labels)
+    cfg = config_from_dict(
+        {
+            "output_dir": str(tmp_path),
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {"batch_size": 32, "num_epochs": 1,
+                         "scheduler": "none"},
+        }
+    )
+    model = create_model("deepfm", packed, cfg)
+    assert model.lookup_fn is None
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    assert tr.sparse_fused, "fused sparse backward must engage on TPU"
+    ids = jnp.asarray(arr.ids)[:32]
+    dense = jnp.asarray(arr.dense)[:32]
+    lab = jnp.asarray(arr.labels)[:32]
+    w = jnp.ones((32,), jnp.float32)
+    state, loss = tr._train_step(tr.state, ids, dense, lab, w)
+    assert np.isfinite(float(loss))
