@@ -200,6 +200,66 @@ def evaluate_command(config: ExperimentConfig) -> None:
         logger.info(f"  test_{k} = {v:.4f}")
 
 
+def predict_command(
+    config: ExperimentConfig, input_path: str, output_path: str
+) -> None:
+    """Batch scoring (serving): load the best checkpoint and score every
+    row of a u.data-format file through the fitted pipeline, writing
+    ``user \\t item \\t score`` per kept row. Rows whose raw ids have no
+    metadata are dropped (logged). Serving is out of the reference's
+    scope (reference prd.md:23-27); the compute path is the same
+    compiled eval scan the trainer uses — one dispatch per chunk."""
+    import time as _time
+
+    import numpy as np
+
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    if not hasattr(adapter, "score_interactions"):
+        raise SystemExit(
+            f"predict: dataset {config.data.dataset_name!r} has no "
+            "interactions-file scoring path (movielens-format only)"
+        )
+    score_ds, kept, total = adapter.score_interactions(input_path)
+    if len(kept) < total:
+        logger.warning(
+            "dropped %d/%d rows with unknown user/item ids",
+            total - len(kept), total,
+        )
+    score_d = score_ds.pack(packed)
+
+    mesh = build_runtime(config)
+    model = create_model(config.model_name, packed, config, mesh=mesh)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=score_d,  # unused for scoring
+        val_data=val_d,
+        test_data=test_d,
+        mesh=mesh,
+    )
+    trainer.load_best()
+
+    t0 = _time.perf_counter()
+    scores = trainer.predict(score_d)
+    dt = _time.perf_counter() - t0
+
+    raw = np.loadtxt(input_path, dtype=np.int64).reshape(-1, 4)[kept]
+    with open(output_path, "w") as f:
+        for (u, m), s in zip(raw[:, :2], scores):
+            f.write(f"{u}\t{m}\t{s:.6f}\n")
+    logger.info(
+        "Scored %d rows in %.2fs (%.0f rows/s incl. compile) -> %s",
+        len(scores), dt, len(scores) / max(dt, 1e-9), output_path,
+    )
+
+
 def _fmt(d: dict, key: str) -> str:
     v = d.get(key)
     return f"{v:.4f}" if isinstance(v, float) else "-"
@@ -311,6 +371,7 @@ def main(argv: list[str] | None = None) -> None:
     for name, help_ in [
         ("train", "Train a model"),
         ("evaluate", "Evaluate a saved model"),
+        ("predict", "Batch-score an interactions file (serving)"),
     ]:
         p = sub.add_parser(name, help=help_)
         p.add_argument("--config", required=True, help="Path to YAML config")
@@ -320,6 +381,16 @@ def main(argv: list[str] | None = None) -> None:
             default=[],
             help="Override config values, e.g. training.num_epochs=10",
         )
+        if name == "predict":
+            p.add_argument(
+                "--input", required=True,
+                help="u.data-format file (user\\titem\\trating\\tts; "
+                "rating may be 0 for unlabeled traffic)",
+            )
+            p.add_argument(
+                "--output", required=True,
+                help="Output TSV path (user\\titem\\tscore per kept row)",
+            )
 
     cmp_p = sub.add_parser("compare", help="Compare experiment results")
     cmp_p.add_argument("--dir", default="outputs")
@@ -350,6 +421,8 @@ def main(argv: list[str] | None = None) -> None:
         train_command(config)
     elif args.command == "evaluate":
         evaluate_command(config)
+    elif args.command == "predict":
+        predict_command(config, args.input, args.output)
 
 
 if __name__ == "__main__":

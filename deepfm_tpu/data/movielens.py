@@ -142,6 +142,71 @@ class MovieLensAdapter:
             raise RuntimeError("Call build() first")
         return self._assemble_train()
 
+    def score_interactions(
+        self, path
+    ) -> tuple[TabularDataset, np.ndarray, int]:
+        """Batch-scoring (serving) entry point: transform an ARBITRARY
+        u.data-format file (user \\t item \\t rating \\t timestamp; the
+        rating column may be 0 for unlabeled traffic) with the FITTED
+        train encoders, exactly as the training pipeline would.
+
+        Rows whose raw user/movie id has no metadata row (u.user /
+        u.item) are dropped — there is nothing to gather for them; the
+        framework's OOV->0 convention applies to unseen CATEGORY VALUES
+        of known entities (the encoders map those to index 0), not to
+        entities with no features at all.
+
+        Returns (dataset, kept_row_indices, total_rows). No reference
+        counterpart (serving is out of the reference's scope,
+        prd.md:23-27).
+        """
+        if self._schema is None:
+            raise RuntimeError("Call build() first")
+        raw = np.loadtxt(path, dtype=np.int64).reshape(-1, 4)
+        total = len(raw)
+        known = np.asarray(
+            [
+                int(u) in self._uid_pos and int(m) in self._mid_pos
+                for u, m in zip(raw[:, 0], raw[:, 1])
+            ]
+        )
+        kept = np.nonzero(known)[0]
+        raw = raw[kept]
+        uid = np.asarray(
+            [self._uid_pos[int(u)] for u in raw[:, 0]], np.int64
+        )
+        iid = np.asarray(
+            [self._mid_pos[int(m)] for m in raw[:, 1]], np.int64
+        )
+        ts = raw[:, 3].astype(np.int64)
+
+        # the same engineering as _load/_assemble, on arbitrary rows
+        days = ts // 86400
+        weekday = _days_to_weekday(days).astype(np.float64)
+        hour = ((ts % 86400) // 3600).astype(np.float64)
+        age_days = np.floor(ts / 86400.0 - self._release_days[iid])
+        age_codes = self._age_enc.transform(
+            bucket_movie_age(age_days / 365.25)
+        )
+
+        feats: dict[str, np.ndarray] = {}
+        for name in ["user_id", "gender", "age", "occupation", "zip_prefix"]:
+            feats[name] = self._user_enc[name][uid]
+        for name in ["movie_id", "genres", "release_year_bucket", "num_genres"]:
+            feats[name] = self._item_enc[name][iid]
+        feats["movie_age_at_rating"] = age_codes
+        feats["dow_sin"] = np.sin(2 * np.pi * weekday / 7).astype(np.float32)
+        feats["dow_cos"] = np.cos(2 * np.pi * weekday / 7).astype(np.float32)
+        feats["hour_sin"] = np.sin(2 * np.pi * hour / 24).astype(np.float32)
+        feats["hour_cos"] = np.cos(2 * np.pi * hour / 24).astype(np.float32)
+        feats["user_rating_count"] = self._user_enc["user_rating_count"][uid]
+        feats["item_rating_count"] = self._item_enc["item_rating_count"][iid]
+
+        labels = (
+            raw[:, 2].astype(np.float64) >= self.config.label_threshold
+        ).astype(np.float32)
+        return TabularDataset(feats, labels), kept, total
+
     @property
     def schema(self) -> DatasetSchema:
         if self._schema is None:
@@ -208,8 +273,10 @@ class MovieLensAdapter:
         # ---- u.data: user \t item \t rating \t timestamp ----
         raw = np.loadtxt(self.data_dir / "u.data", dtype=np.int64)
         raw = raw.reshape(-1, 4)
-        uid_pos = {int(u): i for i, u in enumerate(self._uid_raw)}
-        mid_pos = {int(m): i for i, m in enumerate(self._mid_raw)}
+        # raw id -> metadata row; kept for score_interactions (serving)
+        self._uid_pos = {int(u): i for i, u in enumerate(self._uid_raw)}
+        self._mid_pos = {int(m): i for i, m in enumerate(self._mid_raw)}
+        uid_pos, mid_pos = self._uid_pos, self._mid_pos
         user_idx = np.asarray([uid_pos[int(u)] for u in raw[:, 0]], np.int64)
         item_idx = np.asarray([mid_pos[int(m)] for m in raw[:, 1]], np.int64)
         rating = raw[:, 2].astype(np.float64)

@@ -1320,9 +1320,15 @@ class Trainer:
     # evaluation
     # ------------------------------------------------------------------
 
-    def evaluate(
-        self, data: PackedArrays, split_name: str = "eval"
-    ) -> dict[str, float]:
+    def predict(self, data: PackedArrays) -> np.ndarray:
+        """Sigmoid probabilities for every row of ``data``, in order.
+
+        The batch-scoring (serving) entry point: one scan dispatch per
+        staged chunk, one host fetch. Reference capability analogue:
+        model.predict over a DataLoader (reference deepfm/models/
+        base.py:70-76, trainer.py:267-276), as a single compiled
+        program instead of a per-batch python loop.
+        """
         tc = self.config.training
         n = len(data)
         cache = getattr(self, "_eval_stage_cache", None)
@@ -1353,7 +1359,15 @@ class Trainer:
             )
             for _, staged in cache[key][1]
         ]
-        scores = np.asarray(jnp.concatenate(parts) if len(parts) > 1 else parts[0])[:n]
+        return np.asarray(
+            jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        )[:n]
+
+    def evaluate(
+        self, data: PackedArrays, split_name: str = "eval"
+    ) -> dict[str, float]:
+        tc = self.config.training
+        scores = self.predict(data)
         labels = data.labels
 
         metrics: dict[str, float] = {}
