@@ -1,4 +1,4 @@
-.PHONY: train evaluate compare test test-all test-tpu lint format bench synth-data weak-scaling collective-bytes profile
+.PHONY: train evaluate predict compare test test-all test-tpu lint format bench synth-data weak-scaling collective-bytes fused-collectives profile
 
 CONFIG ?= configs/deepfm_movielens.yaml
 ARGS ?=
@@ -8,6 +8,9 @@ train:
 
 evaluate:
 	python -m deepfm_tpu evaluate --config $(CONFIG) --override $(ARGS)
+
+predict:
+	python -m deepfm_tpu predict --config $(CONFIG) --input $(INPUT) --output $(OUTPUT) --override $(ARGS)
 
 compare:
 	python -m deepfm_tpu compare --dir outputs
@@ -32,6 +35,9 @@ weak-scaling:
 
 collective-bytes:
 	python scripts/collective_bytes.py
+
+fused-collectives:
+	python scripts/fused_collective_bytes.py
 
 profile:
 	python scripts/profile_step.py --model $(MODEL)
