@@ -46,7 +46,7 @@ STEPS = 10
 MODELS = ("xdeepfm", "attention_deepfm", "deepfm")  # flagship LAST
 
 
-def _workload():
+def _workload(rows: int = BATCH):
     from deepfm_tpu.data.packing import pack_features, pack_schema
     from deepfm_tpu.data.schema import DatasetSchema, FeatureType, FieldSchema
 
@@ -64,10 +64,10 @@ def _workload():
 
     rng = np.random.default_rng(0)
     feats = {
-        f"cat_{i}": rng.integers(1, VOCAB, BATCH) for i in range(NUM_FIELDS)
+        f"cat_{i}": rng.integers(1, VOCAB, rows) for i in range(NUM_FIELDS)
     }
-    feats["dense_0"] = rng.normal(size=BATCH).astype(np.float32)
-    labels = rng.integers(0, 2, BATCH).astype(np.float32)
+    feats["dense_0"] = rng.normal(size=rows).astype(np.float32)
+    labels = rng.integers(0, 2, rows).astype(np.float32)
     return packed, pack_features(packed, feats, labels)
 
 
@@ -140,6 +140,46 @@ def bench_tpu(
     return BATCH * STEPS / dt
 
 
+def bench_inference(model_name: str) -> float:
+    """Forward-only (serving) throughput: Trainer.predict over
+    STEPS x BATCH rows — the compiled eval scan, one dispatch per
+    staged chunk + one host fetch, exactly the `predict` CLI's path."""
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    packed, arrays = _workload(rows=BATCH * STEPS)
+    config = config_from_dict(
+        {
+            "model_name": model_name,
+            "dnn": {
+                "hidden_units": [512, 256, 128],
+                "dropout": 0.0,
+                "use_batch_norm": True,
+            },
+            "training": {
+                "batch_size": BATCH,
+                "compute_dtype": "bfloat16",
+            },
+            "output_dir": "/tmp/bench_out",
+        }
+    )
+    model = create_model(model_name, packed, config)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=arrays,
+        val_data=arrays,
+        test_data=arrays,
+    )
+    _ = trainer.predict(arrays)  # compile + stage
+    t0 = time.perf_counter()
+    scores = trainer.predict(arrays)  # ends with the host fetch
+    dt = time.perf_counter() - t0
+    return len(scores) / dt
+
+
 BASELINE_THREADS = 1  # pinned: cgroup allots 1 CPU on this host
 
 
@@ -192,6 +232,11 @@ def main() -> None:
         help="disable the merged sparse backward-optimizer (A/B against "
         "the densify + fused-Adam two-pass path)",
     )
+    parser.add_argument(
+        "--inference",
+        action="store_true",
+        help="also report forward-only (serving) throughput per model",
+    )
     args = parser.parse_args()
     models = [m for m in args.models.split(",") if m]
 
@@ -228,6 +273,16 @@ def main() -> None:
         baseline = bench_torch_baseline()
     if baseline is None and BASELINE_CACHE.exists():
         baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
+
+    if args.inference:
+        for name in models:
+            v = bench_inference(name)
+            print(json.dumps({
+                "metric": f"{name}_predict_throughput",
+                "value": round(v, 1),
+                "unit": "examples/sec/chip",
+                "vs_baseline": 1.0,
+            }))
 
     for name in models:
         value = values[name]
