@@ -6,7 +6,15 @@ run ONE sharded DeepFM train step on deterministic synthetic data, and
 (process 0) dump the loss + flattened parameters for the parent test to
 compare against a single-process run.
 
-Usage: python two_process_worker.py <pid> <nproc> <coordinator> <out.npz>
+Modes (5th arg, default "dp"):
+  dp     — (4, 1) pure-DP mesh, SGD (replicated params dumped whole)
+  routed — (2, 2) mesh, all_to_all strategy, packed tables, fused
+           sparse backward with the OWNER-ROUTED pair exchange; tables
+           are model-sharded (not addressable from one process), so the
+           dump carries the replicated dense params + the psq scalars
+           (sumsq of each updated table — a full-table checksum).
+
+Usage: python two_process_worker.py <pid> <nproc> <coordinator> <out.npz> [mode]
 """
 
 from __future__ import annotations
@@ -16,8 +24,11 @@ import sys
 
 pid, nproc = int(sys.argv[1]), int(sys.argv[2])
 coordinator, out_path = sys.argv[3], sys.argv[4]
+mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+if mode == "routed":
+    os.environ["DEEPFM_TPU_FORCE_FUSED_ADAM"] = "1"
 
 import jax  # noqa: E402
 
@@ -47,17 +58,30 @@ schema = make_synth_schema()
 packed = pack_schema(schema)
 feats, labels = make_synth_batch(schema, 32, seed=5)
 arr = pack_features(packed, feats, labels)
-cfg = config_from_dict(
-    {
-        "output_dir": f"/tmp/two_proc_{pid}",
-        "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
-        "training": {"batch_size": 32, "optimizer": "sgd"},
-    }
-)
-
-mesh = build_mesh(4, 1)  # spans both processes (2 local devices each)
+if mode == "routed":
+    cfg = config_from_dict(
+        {
+            "output_dir": f"/tmp/two_proc_{pid}",
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "pallas": {"table_layout": "packed"},
+            "mesh": {"embedding_strategy": "all_to_all"},
+            "training": {"batch_size": 32, "gradient_clip_norm": 0.0},
+        }
+    )
+    mesh = build_mesh(2, 2)  # model axis spans the process boundary
+else:
+    cfg = config_from_dict(
+        {
+            "output_dir": f"/tmp/two_proc_{pid}",
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "training": {"batch_size": 32, "optimizer": "sgd"},
+        }
+    )
+    mesh = build_mesh(4, 1)  # spans both processes (2 local devices each)
 model = create_model("deepfm", packed, cfg, mesh=mesh)
 tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
+if mode == "routed":
+    assert tr.sparse_fused, "routed mode must take the fused sparse path"
 ids, dense, lab, w = tr._put_batch(
     arr.ids, arr.dense, arr.labels, np.ones((32,), np.float32)
 )
@@ -65,15 +89,41 @@ state, loss = tr._train_step(tr.state, ids, dense, lab, w)
 jax.block_until_ready(loss)
 
 if pid == 0:
-    # params are replicated on the (4,1) DP mesh -> fully addressable
-    flat = np.concatenate(
-        [
+    if mode == "routed":
+        # tables are model-sharded across processes; dump the
+        # replicated dense tower + the psq full-table checksums
+        dense_leaves = [
             np.asarray(jax.device_get(leaf)).ravel()
-            for leaf in jax.tree_util.tree_leaves(
-                jax.device_get(state.params)
+            for key, leaf in sorted(
+                (
+                    (jax.tree_util.keystr(path), leaf)
+                    for path, leaf in jax.tree_util.tree_leaves_with_path(
+                        state.params
+                    )
+                    if "table_w" not in jax.tree_util.keystr(path)
+                    and "fo_table" not in jax.tree_util.keystr(path)
+                )
             )
         ]
-    )
-    np.savez(out_path, loss=float(loss), params=flat)
+        psq = np.asarray(
+            [float(state.table_psq[k]) for k in sorted(state.table_psq)]
+        )
+        np.savez(
+            out_path,
+            loss=float(loss),
+            params=np.concatenate(dense_leaves),
+            psq=psq,
+        )
+    else:
+        # params are replicated on the (4,1) DP mesh -> fully addressable
+        flat = np.concatenate(
+            [
+                np.asarray(jax.device_get(leaf)).ravel()
+                for leaf in jax.tree_util.tree_leaves(
+                    jax.device_get(state.params)
+                )
+            ]
+        )
+        np.savez(out_path, loss=float(loss), params=flat)
 print(f"worker {pid} OK loss={float(loss):.6f}", flush=True)
 jax.distributed.shutdown()
