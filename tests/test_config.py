@@ -97,3 +97,19 @@ def test_to_dict_roundtrip():
         }
     )
     assert cfg2.training.lr == 0.01
+
+
+def test_all_shipped_configs_load():
+    """Every YAML under configs/ constructs a valid ExperimentConfig —
+    schema changes cannot silently orphan a shipped recipe."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 6
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.model_name in (
+            "deepfm", "xdeepfm", "attention_deepfm"
+        ), p
