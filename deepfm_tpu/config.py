@@ -107,9 +107,12 @@ class TrainingConfig:
     # gradient never touches HBM (ops/pallas/sparse_adam_kernel.py) and
     # the decayed clip norm is assembled sparsely from the sorted
     # cotangent stream + the forward's gathered rows + the carried
-    # sumsq(p). Engages only when fused_table_adam is active, tables are
-    # packed, and the run is single-device; other configurations keep
-    # the densify + fused-Adam two-pass path.
+    # sumsq(p). Engages at every mesh shape when fused_table_adam is
+    # active and tables are packed: single-device, pure-DP (pairs
+    # replicate over "data"), and model-sharded (per-slab merged kernel
+    # under shard_map; under the all_to_all strategy the pairs are
+    # owner-routed with an exact overflow fallback). lazy_adam or
+    # logical tables keep the densify + fused-Adam two-pass path.
     fused_backward: bool = True
 
     def __post_init__(self):
