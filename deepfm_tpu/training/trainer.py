@@ -433,6 +433,55 @@ class Trainer:
 
         sparse_fast = self.sparse_fused
         table_pack = self._table_pack
+        wd = 2.0 * l2_reg
+
+        def chain_second_half(state, grads, table_sq):
+            """The optax-chain tail shared by BOTH fused-table paths
+            (two-pass and sparse-fused): decayed global norm with each
+            table's sumsq(g + wd*p) supplied via ``table_sq`` (inline
+            dense reduce or sparse assembly), the bit-identical clip
+            decision/scale (optax.global_norm's left-fold leaf order),
+            and the masked dense update with table leaves zeroed.
+            Returns (new_params, new_opt, gnorm). One implementation so
+            the two branches cannot drift apart (their parity is
+            contract-tested bit-exactly at clip=0)."""
+            emb_params = state.params["embedding"]
+
+            def decayed(path, g):
+                keys = [str(getattr(k, "key", "")) for k in path]
+                if keys and keys[0] == "embedding":
+                    return g + wd * emb_params[keys[-1]]
+                return g
+
+            def leaf_sq(path, g):
+                name = str(getattr(path[-1], "key", ""))
+                if _is_table_name(name):
+                    return table_sq[name]
+                return jnp.sum(jnp.square(decayed(path, g)))
+
+            sq_tree = jax.tree_util.tree_map_with_path(leaf_sq, grads)
+            gnorm = jnp.sqrt(sum(jax.tree_util.tree_leaves(sq_tree)))
+            if clip > 0:
+                trigger = gnorm < clip
+
+                def clipped(g):
+                    return jnp.where(trigger, g, g / gnorm * clip)
+            else:
+                def clipped(g):
+                    return g
+
+            nt_grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: (
+                    jnp.zeros_like(g)
+                    if _is_table_name(str(getattr(path[-1], "key", "")))
+                    else clipped(decayed(path, g))
+                ),
+                grads,
+            )
+            updates, new_opt = tx.update(
+                nt_grads, state.opt_state, state.params
+            )
+            return optax.apply_updates(state.params, updates), new_opt, gnorm
 
         def sparse_fused_step(state: TrainState, ids, dense, labels, weights, dropout_key):
             # ---- fused sparse backward-optimizer: the table gradient
@@ -449,7 +498,6 @@ class Trainer:
                 sparse_table_adam_packed,
             )
 
-            wd = 2.0 * l2_reg
             emb_params = state.params["embedding"]
             gathered = gather_group_rows(
                 packed,
@@ -485,12 +533,6 @@ class Trainer:
             (loss, new_bs), (grads, ct_dict) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
             )(state.params, rows_in)
-
-            def decayed(path, g):
-                keys = [str(getattr(k, "key", "")) for k in path]
-                if keys and keys[0] == "embedding":
-                    return g + wd * emb_params[keys[-1]]
-                return g
 
             # decayed global norm: non-table leaves fold exactly like
             # the two-pass path; each table's sumsq(g + wd*p) decomposes
@@ -582,37 +624,11 @@ class Trainer:
                     + wd * wd * state.table_psq[name]
                 )
 
-            def leaf_sq(path, g):
-                name = str(getattr(path[-1], "key", ""))
-                if _is_table_name(name):
-                    # the grads leaf is structurally zero (the loss saw
-                    # only rows) — substitute the sparse assembly
-                    return table_sq[name]
-                return jnp.sum(jnp.square(decayed(path, g)))
-
-            sq_tree = jax.tree_util.tree_map_with_path(leaf_sq, grads)
-            gnorm = jnp.sqrt(sum(jax.tree_util.tree_leaves(sq_tree)))
-            if clip > 0:
-                trigger = gnorm < clip
-
-                def clipped(g):
-                    return jnp.where(trigger, g, g / gnorm * clip)
-            else:
-                def clipped(g):
-                    return g
-
-            nt_grads = jax.tree_util.tree_map_with_path(
-                lambda path, g: (
-                    jnp.zeros_like(g)
-                    if _is_table_name(str(getattr(path[-1], "key", "")))
-                    else clipped(decayed(path, g))
-                ),
-                grads,
+            # grads' table leaves are structurally zero (the loss saw
+            # only rows); the sparse assembly substitutes their sumsq
+            new_params, new_opt, gnorm = chain_second_half(
+                state, grads, table_sq
             )
-            updates, new_opt = tx.update(
-                nt_grads, state.opt_state, state.params
-            )
-            new_params = optax.apply_updates(state.params, updates)
 
             lr = state.opt_state.hyperparams["learning_rate"]
             m_axis = (
@@ -812,54 +828,23 @@ class Trainer:
                 # table update in ONE Pallas pass (buffers aliased) ----
                 from deepfm_tpu.ops.pallas.adam_kernel import fused_table_adam
 
-                wd = 2.0 * l2_reg
                 emb_grads = grads["embedding"]
                 emb_params = state.params["embedding"]
 
-                # decayed gradient tree (decay spans the embedding
-                # subtree, matching the optax mask); tables never
-                # materialize decayed copies — their sumsq reduces inline
-                def decayed(path, g):
-                    keys = [str(getattr(k, "key", "")) for k in path]
-                    if keys and keys[0] == "embedding":
-                        return g + wd * emb_params[keys[-1]]
-                    return g
-
-                # optax.global_norm: left-fold of per-leaf sumsq in
-                # tree_leaves order, then sqrt — replicated exactly so the
-                # clip decision/scale is bit-identical to the plain
-                # chain. Table leaves reduce INLINE (the decayed copy is
-                # never materialized; the kernel re-applies decay itself).
-                sq_tree = jax.tree_util.tree_map_with_path(
-                    lambda path, g: jnp.sum(jnp.square(decayed(path, g))),
-                    grads,
+                # two-pass variant of the shared chain tail: each
+                # table's sumsq(g + wd*p) reduces inline from the DENSE
+                # grad (the decayed copy is never materialized; the
+                # kernel re-applies decay itself)
+                table_sq = {
+                    name: jnp.sum(
+                        jnp.square(g + wd * emb_params[name])
+                    )
+                    for name, g in emb_grads.items()
+                    if _is_table_name(name)
+                }
+                new_params, new_opt, gnorm = chain_second_half(
+                    state, grads, table_sq
                 )
-                gnorm = jnp.sqrt(
-                    sum(jax.tree_util.tree_leaves(sq_tree))
-                )
-                if clip > 0:
-                    trigger = gnorm < clip
-
-                    def clipped(g):
-                        return jnp.where(trigger, g, g / gnorm * clip)
-                else:
-                    def clipped(g):
-                        return g
-
-                nt_grads = jax.tree_util.tree_map_with_path(
-                    lambda path, g: (
-                        jnp.zeros_like(g)
-                        if _is_table_name(
-                            str(getattr(path[-1], "key", ""))
-                        )
-                        else clipped(decayed(path, g))
-                    ),
-                    grads,
-                )
-                updates, new_opt = tx.update(
-                    nt_grads, state.opt_state, state.params
-                )
-                new_params = optax.apply_updates(state.params, updates)
 
                 lr = state.opt_state.hyperparams["learning_rate"]
                 model_sharded = (
