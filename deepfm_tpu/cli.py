@@ -3,8 +3,9 @@
 Same command surface as the reference CLI (reference: deepfm/cli.py:206-261):
 ``python -m deepfm_tpu {train,evaluate,compare}`` with ``--config`` YAML and
 ``--override a.b.c=v`` dot-notation overrides. Additions: ``synth-data``
-(writes an ML-100K-format synthetic dataset for zero-egress environments)
-and first-class mesh flags via the config's ``mesh`` section.
+(writes an ML-100K-format synthetic dataset for zero-egress environments),
+``predict`` (batch scoring), ``export`` (StableHLO serving artifact), and
+first-class mesh flags via the config's ``mesh`` section.
 """
 
 from __future__ import annotations
@@ -260,6 +261,81 @@ def predict_command(
     )
 
 
+def export_command(
+    config: ExperimentConfig,
+    output_path: str,
+    platforms: str | None,
+    batch_size: int | None,
+) -> None:
+    """Export the best checkpoint as a self-contained StableHLO scoring
+    artifact (utils/export.py): parameters baked in, symbolic batch
+    dimension unless --batch-size pins it, optionally lowered for
+    several platforms at once. The artifact is verified against the
+    in-process predict path before the command reports success."""
+    import jax
+    import numpy as np
+
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+    from deepfm_tpu.utils.export import (
+        export_scoring,
+        load_scoring,
+        save_scoring,
+        serving_config,
+    )
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+
+    scfg = serving_config(config)
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(scfg)
+    model = create_model(scfg.model_name, packed, scfg)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=scfg,
+        train_data=val_d,  # unused for export
+        val_data=val_d,
+        test_data=test_d,
+    )
+    trainer.load_best()  # cross-layout restore: packed ckpts convert
+
+    plat = tuple(platforms.split(",")) if platforms else None
+    exported = export_scoring(
+        model,
+        trainer.state.params,
+        trainer.state.batch_stats,
+        packed.num_slots,
+        packed.num_dense,
+        platforms=plat,
+        batch_size=batch_size,
+    )
+    n_bytes = save_scoring(output_path, exported)
+    logger.info(
+        "Exported %s -> %s (%.1f MB, platforms=%s, in_avals=%s)",
+        scfg.model_name, output_path, n_bytes / 1e6,
+        ",".join(exported.platforms), exported.in_avals,
+    )
+
+    if jax.default_backend() in exported.platforms:
+        score = load_scoring(output_path)
+        k = min(len(val_d), batch_size or 256)
+        ids = val_d.ids[:k]
+        dense = val_d.dense[:k]
+        got = score(ids, dense)
+        want = trainer.predict(val_d)[:k]
+        err = float(np.abs(got - want).max())
+        logger.info("Round-trip verification on %d rows: max|Δ|=%.2e", k, err)
+        if err > 1e-4:
+            raise SystemExit(f"export verification failed: max|Δ|={err}")
+    else:
+        logger.info(
+            "Round-trip verification skipped: current backend %r not in "
+            "exported platforms %s", jax.default_backend(),
+            exported.platforms,
+        )
+
+
 def _fmt(d: dict, key: str) -> str:
     v = d.get(key)
     return f"{v:.4f}" if isinstance(v, float) else "-"
@@ -372,6 +448,7 @@ def main(argv: list[str] | None = None) -> None:
         ("train", "Train a model"),
         ("evaluate", "Evaluate a saved model"),
         ("predict", "Batch-score an interactions file (serving)"),
+        ("export", "Export the best checkpoint as a StableHLO artifact"),
     ]:
         p = sub.add_parser(name, help=help_)
         p.add_argument("--config", required=True, help="Path to YAML config")
@@ -381,6 +458,20 @@ def main(argv: list[str] | None = None) -> None:
             default=[],
             help="Override config values, e.g. training.num_epochs=10",
         )
+        if name == "export":
+            p.add_argument(
+                "--output", required=True,
+                help="Artifact path (e.g. model.stablehlo)",
+            )
+            p.add_argument(
+                "--platforms", default=None,
+                help="Comma-separated lowering targets (e.g. cpu,tpu); "
+                "default: the current backend only",
+            )
+            p.add_argument(
+                "--batch-size", type=int, default=None,
+                help="Pin a static batch size (default: symbolic batch)",
+            )
         if name == "predict":
             p.add_argument(
                 "--input", required=True,
@@ -423,6 +514,8 @@ def main(argv: list[str] | None = None) -> None:
         evaluate_command(config)
     elif args.command == "predict":
         predict_command(config, args.input, args.output)
+    elif args.command == "export":
+        export_command(config, args.output, args.platforms, args.batch_size)
 
 
 if __name__ == "__main__":

@@ -193,8 +193,9 @@ class PallasConfig:
     #   "logical" — plain (rows, d+1) tables.
     # The resolved layout is recorded in checkpoint metadata and
     # converted on restore (utils/layout.py), so checkpoints stay
-    # portable across backends and layout toggles. lazy_adam forces
-    # "logical" (its sparse update addresses logical rows).
+    # portable across backends and layout toggles. lazy_adam composes
+    # with both layouts (on packed tables its row-sparse update
+    # addresses physical rows).
     table_layout: str = "auto"
 
 
