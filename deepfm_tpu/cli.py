@@ -266,12 +266,15 @@ def export_command(
     output_path: str,
     platforms: str | None,
     batch_size: int | None,
+    quantize: str | None = None,
 ) -> None:
     """Export the best checkpoint as a self-contained StableHLO scoring
     artifact (utils/export.py): parameters baked in, symbolic batch
     dimension unless --batch-size pins it, optionally lowered for
-    several platforms at once. The artifact is verified against the
-    in-process predict path before the command reports success."""
+    several platforms at once. ``--quantize int8`` swaps the embedding
+    tables for per-row-scaled int8 (~3.2x smaller artifact). The
+    artifact is verified against the in-process predict path before the
+    command reports success."""
     import jax
     import numpy as np
 
@@ -280,6 +283,7 @@ def export_command(
     from deepfm_tpu.utils.export import (
         export_scoring,
         load_scoring,
+        quantized_scoring_model,
         save_scoring,
         serving_config,
     )
@@ -300,9 +304,17 @@ def export_command(
     )
     trainer.load_best()  # cross-layout restore: packed ckpts convert
 
+    export_model = model
+    if quantize is not None:
+        if quantize != "int8":
+            raise SystemExit(f"--quantize supports 'int8', got {quantize!r}")
+        export_model = quantized_scoring_model(
+            config, packed, trainer.state.params
+        )
+
     plat = tuple(platforms.split(",")) if platforms else None
     exported = export_scoring(
-        model,
+        export_model,
         trainer.state.params,
         trainer.state.batch_stats,
         packed.num_slots,
@@ -326,8 +338,22 @@ def export_command(
         want = trainer.predict(val_d)[:k]
         err = float(np.abs(got - want).max())
         logger.info("Round-trip verification on %d rows: max|Δ|=%.2e", k, err)
-        if err > 1e-4:
+        tol = 0.05 if quantize else 1e-4
+        if err > tol:
             raise SystemExit(f"export verification failed: max|Δ|={err}")
+        if quantize and batch_size is None:
+            # quality delta of the quantized tables on the val split
+            from deepfm_tpu.training.metrics import compute_auc
+
+            q_all = score(val_d.ids, val_d.dense)
+            f_all = trainer.predict(val_d)
+            labels = val_d.labels
+            logger.info(
+                "Quantized val AUC %.4f vs f32 %.4f (Δ=%+.4f)",
+                compute_auc(labels, q_all),
+                compute_auc(labels, f_all),
+                compute_auc(labels, q_all) - compute_auc(labels, f_all),
+            )
     else:
         logger.info(
             "Round-trip verification skipped: current backend %r not in "
@@ -472,6 +498,11 @@ def main(argv: list[str] | None = None) -> None:
                 "--batch-size", type=int, default=None,
                 help="Pin a static batch size (default: symbolic batch)",
             )
+            p.add_argument(
+                "--quantize", default=None, choices=["int8"],
+                help="Quantize embedding tables (per-row int8 scales; "
+                "~3.2x smaller artifact)",
+            )
         if name == "predict":
             p.add_argument(
                 "--input", required=True,
@@ -515,7 +546,10 @@ def main(argv: list[str] | None = None) -> None:
     elif args.command == "predict":
         predict_command(config, args.input, args.output)
     elif args.command == "export":
-        export_command(config, args.output, args.platforms, args.batch_size)
+        export_command(
+            config, args.output, args.platforms, args.batch_size,
+            args.quantize,
+        )
 
 
 if __name__ == "__main__":

@@ -1,6 +1,8 @@
 from deepfm_tpu.utils.export import (
     export_scoring,
     load_scoring,
+    quantize_embedding_tables,
+    quantized_scoring_model,
     save_scoring,
     serving_config,
 )
@@ -20,6 +22,8 @@ __all__ = [
     "load_results",
     "load_scoring",
     "make_rngs",
+    "quantize_embedding_tables",
+    "quantized_scoring_model",
     "save_checkpoint",
     "save_results",
     "save_scoring",

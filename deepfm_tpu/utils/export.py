@@ -34,6 +34,8 @@ __all__ = [
     "export_scoring",
     "save_scoring",
     "load_scoring",
+    "quantize_embedding_tables",
+    "quantized_scoring_model",
 ]
 
 
@@ -56,6 +58,58 @@ def serving_config(config):
             table_layout="logical",
         ),
         mesh=dataclasses.replace(config.mesh, data_axis=1, model_axis=1),
+    )
+
+
+def quantize_embedding_tables(params) -> dict[int, tuple]:
+    """Per-row symmetric int8 quantization of the embedding tables.
+
+    Returns ``{width+1: (q int8 (rows, w), scale f32 (rows,))}`` — one
+    entry per lookup group (groups have unique widths, so the table's
+    second dimension identifies it). Per-ROW scales because rows are
+    gathered independently at serving time: the dequantized row is
+    ``q * scale`` and the worst-case elementwise error is scale/2,
+    i.e. max|row|/254. Row 0 (the OOV/padding row) is all-zero by the
+    table invariant and quantizes to exact zeros.
+
+    Storage: width-17 f32 rows are 68 B; int8 + scale is 21 B — 3.2x
+    smaller, which is the dominant term of a CTR serving artifact.
+    """
+    qtabs: dict[int, tuple] = {}
+    for name, p in params["embedding"].items():
+        if not name.startswith("table_w"):
+            continue
+        t = np.asarray(p, np.float32)
+        amax = np.abs(t).max(axis=1)
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.clip(np.round(t / scale[:, None]), -127, 127).astype(np.int8)
+        qtabs[t.shape[1]] = (q, scale)
+    return qtabs
+
+
+def quantized_scoring_model(config, packed, params):
+    """Rebuild the serving model with int8 table lookups.
+
+    The returned model shares ``params``' tree structure — the f32
+    tables are still DECLARED (so ``model.apply(params, ...)`` works
+    unchanged) but the injected lookup ignores them and gathers from
+    the closed-over (int8, scale) pair instead, so XLA dead-code
+    eliminates the f32 constants from the exported program: the
+    artifact carries only the quantized tables.
+    """
+    import jax.numpy as jnp
+
+    from deepfm_tpu.models import create_model
+
+    qtabs = quantize_embedding_tables(params)
+
+    def qlookup(table, flat_ids):
+        q, scale = qtabs[table.shape[1]]
+        rows = jnp.asarray(q)[flat_ids].astype(jnp.float32)
+        return rows * jnp.asarray(scale)[flat_ids][:, None]
+
+    return create_model(
+        config.model_name, packed, serving_config(config), lookup_fn=qlookup
     )
 
 

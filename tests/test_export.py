@@ -132,7 +132,79 @@ class TestExportScoring:
         assert cfg.pallas.use_cin_kernel
 
 
-class TestExportCLI:
+class TestQuantizedExport:
+    def test_per_row_error_bound(self):
+        from deepfm_tpu.utils.export import quantize_embedding_tables
+
+        rng = np.random.default_rng(0)
+        t = rng.normal(size=(64, 17)).astype(np.float32) * 0.1
+        t[0] = 0.0  # the OOV row invariant
+        qtabs = quantize_embedding_tables({"embedding": {"table_w16": t}})
+        q, scale = qtabs[17]
+        assert q.dtype == np.int8 and scale.dtype == np.float32
+        deq = q.astype(np.float32) * scale[:, None]
+        # symmetric per-row quantization: error <= scale/2 elementwise
+        assert np.all(np.abs(deq - t) <= scale[:, None] / 2 + 1e-7)
+        np.testing.assert_array_equal(deq[0], 0.0)  # OOV row exact
+
+    def test_quantized_artifact_smaller_and_close(self, tmp_path):
+        """Tables dominate a CTR artifact: the int8 export must shrink it
+        substantially and score within quantization tolerance."""
+        import jax
+
+        from deepfm_tpu.data.schema import (
+            DatasetSchema,
+            FeatureType,
+            FieldSchema,
+        )
+        from deepfm_tpu.utils.export import quantized_scoring_model
+
+        fields = {
+            "user": FieldSchema("user", FeatureType.SPARSE, 4000, 8, "user"),
+            "item": FieldSchema("item", FeatureType.SPARSE, 5000, 8, "item"),
+        }
+        packed = pack_schema(DatasetSchema(fields=fields))
+        cfg = config_from_dict(
+            {
+                "feature": {"fm_embed_dim": 8},
+                "dnn": {"hidden_units": [16], "dropout": 0.0},
+            }
+        )
+        scfg = serving_config(cfg)
+        model = create_model("deepfm", packed, scfg)
+        ids = np.zeros((8, packed.num_slots), np.int32)
+        dense = np.zeros((8, packed.num_dense), np.float32)
+        variables = model.init(jax.random.PRNGKey(1), ids, dense, train=False)
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+
+        f32_path = tmp_path / "f32.stablehlo"
+        q_path = tmp_path / "int8.stablehlo"
+        n_f32 = save_scoring(
+            f32_path,
+            export_scoring(
+                model, params, bstats, packed.num_slots, packed.num_dense
+            ),
+        )
+        qmodel = quantized_scoring_model(cfg, packed, params)
+        n_q = save_scoring(
+            q_path,
+            export_scoring(
+                qmodel, params, bstats, packed.num_slots, packed.num_dense
+            ),
+        )
+        # f32 tables: 9002 rows x 9 cols x 4 B; int8: 9 B + 4 B scale.
+        # The f32 constants must be DCE'd out of the quantized program.
+        assert n_q < 0.55 * n_f32, (n_q, n_f32)
+
+        rng = np.random.default_rng(2)
+        b = 64
+        tids = rng.integers(0, 1000, (b, packed.num_slots)).astype(np.int32)
+        tdense = np.zeros((b, packed.num_dense), np.float32)
+        got = load_scoring(q_path)(tids, tdense)
+        want = load_scoring(f32_path)(tids, tdense)
+        assert got.shape == (b,)
+        assert np.abs(got - want).max() < 0.02
     @pytest.fixture(scope="class")
     def trained_dir(self, tmp_path_factory):
         """One tiny trained run (packed layout, so the export exercises
@@ -203,6 +275,36 @@ class TestExportCLI:
         dense = np.zeros((b, in_avals[1].shape[1]), np.float32)
         probs = score(ids, dense)
         assert probs.shape == (b,)
+        assert np.all((probs >= 0) & (probs <= 1))
+
+    def test_export_command_quantized(self, trained_dir):
+        import yaml
+
+        from deepfm_tpu.cli import main
+
+        root, overrides = trained_dir
+        cfg_path = root / "config_q.yaml"
+        cfg_path.write_text(yaml.safe_dump(overrides))
+        artifact = root / "deepfm_int8.stablehlo"
+        main(
+            [
+                "export",
+                "--config",
+                str(cfg_path),
+                "--output",
+                str(artifact),
+                "--quantize",
+                "int8",
+            ]
+        )
+        f32 = root / "deepfm.stablehlo"
+        if f32.exists():  # ordering-dependent; only compare when present
+            assert artifact.stat().st_size < f32.stat().st_size
+        score = load_scoring(artifact)
+        in_avals = score.exported.in_avals
+        ids = np.zeros((5, in_avals[0].shape[1]), np.int32)
+        dense = np.zeros((5, in_avals[1].shape[1]), np.float32)
+        probs = score(ids, dense)
         assert np.all((probs >= 0) & (probs <= 1))
 
     def test_export_command_rejects_bad_platform_verify(self, trained_dir):
