@@ -117,6 +117,11 @@ def _build_data(config: ExperimentConfig):
     from deepfm_tpu.data.synthetic import build_adapter
 
     adapter = build_adapter(config.data, seed=config.seed)
+    if hasattr(adapter, "build_packed"):
+        # on-disk packed dataset: memory-mapped device-layout arrays,
+        # streamed chunk-by-chunk by the trainer (data/store.py)
+        schema, packed, train_d, val_d, test_d = adapter.build_packed()
+        return adapter, schema, packed, train_d, val_d, test_d
     schema, train_ds, val_ds, test_ds = adapter.build()
     packed = pack_schema(schema)
     return (
@@ -161,7 +166,9 @@ def train_command(config: ExperimentConfig) -> None:
         train_data=train_d,
         val_data=val_d,
         test_data=test_d,
-        adapter=adapter,
+        # adapter drives per-epoch train resampling; packed-dir datasets
+        # have no resample (the on-disk rows ARE the distribution)
+        adapter=adapter if hasattr(adapter, "resample_train") else None,
         mesh=mesh,
     )
     import jax as _jax
@@ -526,6 +533,18 @@ def main(argv: list[str] | None = None) -> None:
     sd.add_argument("--rows", type=int, default=20000)
     sd.add_argument("--seed", type=int, default=0)
 
+    sp = sub.add_parser(
+        "synth-packed",
+        help="Generate an on-disk packed Criteo-scale dataset "
+        "(bounded-memory; train with data.dataset_name=packed)",
+    )
+    sp.add_argument("--dir", default="data/criteo-packed")
+    sp.add_argument("--rows", type=int, default=1_000_000)
+    sp.add_argument("--fields", type=int, default=26)
+    sp.add_argument("--vocab", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--chunk-rows", type=int, default=1_000_000)
+
     args = parser.parse_args(argv)
 
     if args.command == "compare":
@@ -533,6 +552,24 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.command == "synth-data":
         synth_data_command(args)
+        return
+    if args.command == "synth-packed":
+        import dataclasses
+
+        from deepfm_tpu.config import DataConfig
+        from deepfm_tpu.data.store import write_synthetic_packed
+
+        dcfg = dataclasses.replace(
+            DataConfig(),
+            dataset_name="criteo_synthetic",
+            synthetic_num_rows=args.rows,
+            synthetic_num_fields=args.fields,
+            synthetic_vocab_size=args.vocab,
+        )
+        path = write_synthetic_packed(
+            args.dir, dcfg, seed=args.seed, chunk_rows=args.chunk_rows
+        )
+        print(f"Packed synthetic dataset written to {path}")
         return
 
     config = load_config(args.config, args.override or None)

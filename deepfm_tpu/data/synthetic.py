@@ -203,6 +203,11 @@ def build_adapter(config: DataConfig, seed: int = 0):
         return MovieLensAdapter(config, seed=seed)
     if name in ("synthetic", "criteo_synthetic"):
         return SyntheticCTRAdapter(config, seed=seed)
+    if name == "packed":
+        from deepfm_tpu.data.store import PackedDirAdapter
+
+        return PackedDirAdapter(config, seed=seed)
     raise ValueError(
-        f"Unknown dataset: {name!r} (choose movielens / criteo_synthetic)"
+        f"Unknown dataset: {name!r} "
+        "(choose movielens / criteo_synthetic / packed)"
     )
