@@ -1,4 +1,4 @@
-.PHONY: train evaluate predict compare test test-all test-tpu lint format bench synth-data weak-scaling collective-bytes fused-collectives profile
+.PHONY: train evaluate predict export compare test test-all test-tpu lint format bench synth-data synth-packed weak-scaling collective-bytes fused-collectives profile
 
 CONFIG ?= configs/deepfm_movielens.yaml
 ARGS ?=
@@ -12,11 +12,17 @@ evaluate:
 predict:
 	python -m deepfm_tpu predict --config $(CONFIG) --input $(INPUT) --output $(OUTPUT) --override $(ARGS)
 
+export:
+	python -m deepfm_tpu export --config $(CONFIG) --output $(OUTPUT) --override $(ARGS)
+
 compare:
 	python -m deepfm_tpu compare --dir outputs
 
 synth-data:
 	python -m deepfm_tpu synth-data --dir data/ml-100k-synth --rows 50000
+
+synth-packed:
+	python -m deepfm_tpu synth-packed --dir data/criteo-packed --rows 1000000
 
 test:
 	python -m pytest tests/ -q
