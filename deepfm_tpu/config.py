@@ -80,7 +80,11 @@ class TrainingConfig:
     batch_size: int = 4096
     lr: float = 1e-3
     optimizer: str = "adam"
+    # "reduce_on_plateau" (reference parity), "warmup_cosine"
+    # (epoch-granularity linear warmup + cosine decay), or "none".
     scheduler: str = "reduce_on_plateau"
+    # Warmup length for scheduler="warmup_cosine" (epochs).
+    warmup_epochs: int = 0
     early_stopping_patience: int = 5
     metric: str = "auc"
     gradient_clip_norm: float = 1.0

@@ -58,6 +58,41 @@ def compute_logloss(labels: np.ndarray, scores: np.ndarray) -> float:
     )
 
 
+def compute_calibration(
+    labels: np.ndarray, scores: np.ndarray, num_bins: int = 10
+) -> dict[str, float]:
+    """Calibration diagnostics for CTR serving (beyond reference scope).
+
+    * ``pcoc`` — predicted-over-observed click rate, mean(p)/mean(y):
+      the production CTR calibration headline (1.0 = perfectly
+      calibrated in aggregate; >1 over-predicts). NaN when no positives.
+    * ``ece`` — expected calibration error: scores bucketed into
+      ``num_bins`` equal-width bins, sum over bins of
+      (bin weight) * |mean(p) - mean(y)| within the bin.
+
+    Ranking metrics (AUC/HR/NDCG) are invariant to monotone score
+    distortions; ads/recs systems that bid or blend on the predicted
+    probability need the probability itself to be right — these two
+    measure exactly that.
+    """
+    labels = np.asarray(labels, dtype=np.float64)
+    scores = np.asarray(scores, dtype=np.float64)
+    n = len(labels)
+    mean_y = labels.mean() if n else 0.0
+    pcoc = float(scores.mean() / mean_y) if mean_y > 0 else float("nan")
+
+    edges = np.linspace(0.0, 1.0, num_bins + 1)
+    which = np.clip(np.digitize(scores, edges[1:-1]), 0, num_bins - 1)
+    ece = 0.0
+    for b in range(num_bins):
+        m = which == b
+        cnt = int(m.sum())
+        if cnt == 0:
+            continue
+        ece += (cnt / n) * abs(scores[m].mean() - labels[m].mean())
+    return {"pcoc": pcoc, "ece": float(ece)}
+
+
 def compute_hr_at_k(rankings: list[np.ndarray], k: int) -> float:
     """Hit rate@K: fraction of users whose positive (index 0) is in top-K."""
     hits = sum(1 for ranking in rankings if 0 in ranking[:k])

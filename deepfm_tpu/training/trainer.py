@@ -39,6 +39,7 @@ from deepfm_tpu.data.packing import PackedArrays, PackedSchema
 from deepfm_tpu.models.base import CTRModel, embedding_l2_loss
 from deepfm_tpu.training.metrics import (
     compute_auc,
+    compute_calibration,
     compute_logloss,
     grouped_ranking_metrics,
 )
@@ -226,6 +227,59 @@ class PlateauScheduler:
         self.num_bad = d["num_bad"]
 
 
+class CosineScheduler:
+    """Host-side warmup + cosine decay at EPOCH granularity.
+
+    LR for epoch ``e`` (1-based): linear ramp ``base * e / warmup`` over
+    the first ``warmup_epochs`` epochs, then cosine decay from ``base``
+    to ``min_frac * base`` at the final epoch. Epoch granularity is this
+    trainer's natural resolution — an epoch is one compiled scan
+    dispatch, and the host adjusts the injected learning-rate
+    hyperparameter between dispatches (the same zero-recompilation
+    mechanism reduce-on-plateau uses), so the schedule composes with
+    the fused table-Adam kernels unchanged. Beyond reference scope (the
+    reference ships only ReduceLROnPlateau, reference
+    deepfm/training/trainer.py:80-89).
+    """
+
+    def __init__(
+        self,
+        lr: float,
+        total_epochs: int,
+        warmup_epochs: int = 0,
+        min_frac: float = 0.01,
+    ) -> None:
+        self.base = lr
+        self.total = max(total_epochs, 1)
+        self.warmup = max(min(warmup_epochs, self.total - 1), 0)
+        self.min_lr = min_frac * lr
+        self.epoch = 1
+        self.lr = self._lr_for(1)
+
+    def _lr_for(self, e: int) -> float:
+        import math
+
+        if self.warmup and e <= self.warmup:
+            return self.base * e / self.warmup
+        t = (e - self.warmup - 1) / max(self.total - self.warmup - 1, 1)
+        return self.min_lr + 0.5 * (self.base - self.min_lr) * (
+            1.0 + math.cos(math.pi * min(max(t, 0.0), 1.0))
+        )
+
+    def step(self, metric: float) -> float:
+        """Advance to the next epoch's LR (the metric is ignored)."""
+        self.epoch += 1
+        self.lr = self._lr_for(min(self.epoch, self.total))
+        return self.lr
+
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "epoch": self.epoch}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = d["lr"]
+        self.epoch = d["epoch"]
+
+
 def _set_lr(opt_state, lr: float):
     """Update the injected learning-rate hyperparameter in place-ish."""
     hp = dict(opt_state.hyperparams)
@@ -308,16 +362,32 @@ class Trainer:
             f"table_w{g.width}": 128 // (g.width + 1)
             for g in packed_schema.lookup_groups
         }
-        self.scheduler = PlateauScheduler(
-            lr=config.training.lr,
-            enabled=config.training.scheduler == "reduce_on_plateau",
-        )
-        if config.training.scheduler not in ("reduce_on_plateau", "none"):
+        if config.training.scheduler == "warmup_cosine":
+            self.scheduler: PlateauScheduler | CosineScheduler = (
+                CosineScheduler(
+                    lr=config.training.lr,
+                    total_epochs=config.training.num_epochs,
+                    warmup_epochs=config.training.warmup_epochs,
+                )
+            )
+        else:
+            self.scheduler = PlateauScheduler(
+                lr=config.training.lr,
+                enabled=config.training.scheduler == "reduce_on_plateau",
+            )
+        if config.training.scheduler not in (
+            "reduce_on_plateau", "none", "warmup_cosine",
+        ):
             raise ValueError(
                 f"Unknown scheduler: {config.training.scheduler}"
             )
 
         self.state = self._init_state()
+        if self.scheduler.lr != config.training.lr:
+            # warmup: epoch 1 starts below the base LR
+            self.state = self.state.replace(
+                opt_state=_set_lr(self.state.opt_state, self.scheduler.lr)
+            )
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._epoch_scan = self._build_epoch_scan()
@@ -1361,6 +1431,7 @@ class Trainer:
         except ValueError:
             metrics["auc"] = 0.0
         metrics["logloss"] = compute_logloss(labels, scores)
+        metrics.update(compute_calibration(labels, scores))
 
         if data.user_ids is not None:
             metrics.update(

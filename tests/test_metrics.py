@@ -7,6 +7,7 @@ import pytest
 from deepfm_tpu.training.metrics import (
     RankingEvaluator,
     compute_auc,
+    compute_calibration,
     compute_hr_at_k,
     compute_logloss,
     compute_ndcg_at_k,
@@ -97,3 +98,35 @@ def test_grouped_ranking_empty():
     labels = np.array([1.0, 1.0])
     scores = np.array([0.5, 0.6])
     assert grouped_ranking_metrics(uids, scores, labels, [1]) == {}
+
+
+class TestCalibration:
+    def test_calibrated_scores(self):
+        """Labels drawn Bernoulli(score) -> PCOC ~ 1, ECE ~ 0."""
+        rng = np.random.default_rng(0)
+        scores = rng.uniform(0.05, 0.95, 200_000)
+        labels = (rng.random(len(scores)) < scores).astype(float)
+        m = compute_calibration(labels, scores)
+        assert m["pcoc"] == pytest.approx(1.0, abs=0.02)
+        assert m["ece"] < 0.01
+
+    def test_overprediction_shows_in_both(self):
+        rng = np.random.default_rng(1)
+        p = rng.uniform(0.05, 0.45, 100_000)
+        labels = (rng.random(len(p)) < p).astype(float)
+        scores = np.clip(2.0 * p, 0.0, 1.0)  # doubled prediction
+        m = compute_calibration(labels, scores)
+        assert m["pcoc"] == pytest.approx(2.0, abs=0.05)
+        assert m["ece"] > 0.2
+
+    def test_no_positives(self):
+        m = compute_calibration(np.zeros(10), np.full(10, 0.3))
+        assert np.isnan(m["pcoc"])
+        assert m["ece"] == pytest.approx(0.3, abs=1e-9)
+
+    def test_exact_constant_bin(self):
+        labels = np.array([1.0, 0.0, 1.0, 0.0])
+        scores = np.full(4, 0.5)
+        m = compute_calibration(labels, scores)
+        assert m["pcoc"] == pytest.approx(1.0)
+        assert m["ece"] == pytest.approx(0.0)

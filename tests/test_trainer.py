@@ -185,6 +185,58 @@ class TestPlateauScheduler:
         assert s2.lr == s.lr and s2.best == s.best and s2.num_bad == s.num_bad
 
 
+class TestCosineScheduler:
+    def test_trajectory(self):
+        from deepfm_tpu.training.trainer import CosineScheduler
+
+        s = CosineScheduler(lr=1.0, total_epochs=10, warmup_epochs=3)
+        lrs = [s.lr] + [s.step(0.0) for _ in range(9)]
+        assert lrs[0] == pytest.approx(1 / 3)  # epoch 1: warmup ramp
+        assert lrs[1] == pytest.approx(2 / 3)
+        assert lrs[2] == pytest.approx(1.0)  # warmup peak
+        assert lrs[-1] == pytest.approx(0.01)  # min_frac * base
+        # cosine decay is monotone non-increasing after the peak
+        assert all(a >= b - 1e-12 for a, b in zip(lrs[2:], lrs[3:]))
+
+    def test_no_warmup_starts_at_base(self):
+        from deepfm_tpu.training.trainer import CosineScheduler
+
+        s = CosineScheduler(lr=0.5, total_epochs=4)
+        assert s.lr == pytest.approx(0.5)
+        s.step(0.0)
+        assert s.lr < 0.5
+
+    def test_state_roundtrip(self):
+        from deepfm_tpu.training.trainer import CosineScheduler
+
+        s = CosineScheduler(lr=1.0, total_epochs=8, warmup_epochs=2)
+        s.step(0.0)
+        s.step(0.0)
+        d = s.state_dict()
+        s2 = CosineScheduler(lr=9.0, total_epochs=8, warmup_epochs=2)
+        s2.load_state_dict(d)
+        assert s2.lr == s.lr and s2.epoch == s.epoch
+
+    def test_trainer_applies_warmup_lr(self, tmp_path):
+        """Epoch 1 runs at the warmed-up LR, not the base LR."""
+        packed, arr = _make_data()
+        cfg = _cfg(
+            tmp_path,
+            scheduler="warmup_cosine",
+            warmup_epochs=2,
+            num_epochs=4,
+            lr=0.01,
+        )
+        model = create_model("deepfm", packed, cfg)
+        tr = Trainer(model, packed, cfg, arr, arr, arr)
+        lr0 = float(tr.state.opt_state.hyperparams["learning_rate"])
+        assert lr0 == pytest.approx(0.005)  # base * 1/2
+        best = tr.train()
+        assert np.isfinite(best["auc"])
+        # after training, the scheduler sits at/below the base LR
+        assert tr.scheduler.lr <= 0.01 + 1e-12
+
+
 def test_epoch_scan_matches_per_step_loop(tmp_path):
     """The one-dispatch lax.scan epoch must be numerically identical to
     stepping batch-by-batch (same shuffle order, same dropout folding)."""
