@@ -394,6 +394,9 @@ class Trainer:
         self._eval_scan = self._build_eval_scan()
         self.epoch = 0
         self.throughput: dict[str, float] = {}
+        # per-epoch records (train loss, lr, val metrics, throughput) —
+        # shipped under results.json "history" and carried across resume
+        self.history: list[dict] = []
 
     # ------------------------------------------------------------------
     # state construction
@@ -1287,6 +1290,16 @@ class Trainer:
                     f"lr={self.scheduler.lr:.2e}  "
                     f"ex/s={eps:,.0f}"
                 )
+                self.history.append(
+                    {
+                        "epoch": epoch,
+                        "train_loss": float(train_loss),
+                        "lr": float(self.scheduler.lr),
+                        "epoch_seconds": dt,
+                        "examples_per_sec": eps,
+                        **{f"val_{k}": v for k, v in val_metrics.items()},
+                    }
+                )
 
                 new_lr = self.scheduler.step(current)
                 self.state = self.state.replace(
@@ -1533,6 +1546,7 @@ class Trainer:
                 "best_metrics": best_metrics,
                 "patience_counter": patience_counter,
                 "scheduler": self.scheduler.state_dict(),
+                "history": self.history,
                 # resume restores optimizer state, whose tree structure
                 # depends on these two resolutions — recorded so a
                 # mismatched resume fails with a clear message instead of
@@ -1602,6 +1616,7 @@ class Trainer:
         self.state = state
         self.epoch = meta["epoch"]
         self.scheduler.load_state_dict(meta["scheduler"])
+        self.history = meta.get("history", [])
         self.state = self.state.replace(
             opt_state=_set_lr(self.state.opt_state, self.scheduler.lr)
         )
@@ -1644,6 +1659,7 @@ class Trainer:
                 "total_epochs": total_epochs,
                 **self.throughput,
             },
+            "history": self.history,
         }
         save_results(results, self.output_dir / "results.json")
         self.logger.info(

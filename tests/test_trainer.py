@@ -129,6 +129,25 @@ def test_resume_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(jax.device_get(tr2.state.params))
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # per-epoch history rides the resume meta
+    assert [h["epoch"] for h in tr2.history] == [1, 2]
+
+
+def test_history_in_results(tmp_path):
+    import json
+
+    packed, arr = _make_data()
+    cfg = _cfg(tmp_path, num_epochs=2)
+    model = create_model("deepfm", packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    tr.train()
+    res = json.loads((tmp_path / "results.json").read_text())
+    h = res["history"]
+    assert [e["epoch"] for e in h] == [1, 2]
+    for rec in h:
+        assert {"train_loss", "lr", "epoch_seconds", "examples_per_sec",
+                "val_auc", "val_logloss"} <= set(rec)
+        assert np.isfinite(rec["train_loss"])
 
 
 def test_load_best_restores_params(tmp_path):
