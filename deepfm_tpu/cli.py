@@ -341,9 +341,19 @@ def export_command(
         k = min(len(val_d), batch_size or 256)
         ids = val_d.ids[:k]
         dense = val_d.dense[:k]
-        got = score(ids, dense)
-        want = trainer.predict(val_d)[:k]
-        err = float(np.abs(got - want).max())
+        if batch_size is not None and k < batch_size:
+            # static-batch artifact: pad the verification rows with id-0
+            # (OOV) rows up to the pinned batch, compare only the real k
+            pad = batch_size - k
+            ids = np.concatenate(
+                [ids, np.zeros((pad, ids.shape[1]), np.int32)]
+            )
+            dense = np.concatenate(
+                [dense, np.zeros((pad, dense.shape[1]), np.float32)]
+            )
+        f_all = trainer.predict(val_d)
+        got = score(ids, dense)[:k]
+        err = float(np.abs(got - f_all[:k]).max())
         logger.info("Round-trip verification on %d rows: max|Δ|=%.2e", k, err)
         tol = 0.05 if quantize else 1e-4
         if err > tol:
@@ -352,14 +362,11 @@ def export_command(
             # quality delta of the quantized tables on the val split
             from deepfm_tpu.training.metrics import compute_auc
 
-            q_all = score(val_d.ids, val_d.dense)
-            f_all = trainer.predict(val_d)
-            labels = val_d.labels
+            q_auc = compute_auc(val_d.labels, score(val_d.ids, val_d.dense))
+            f_auc = compute_auc(val_d.labels, f_all)
             logger.info(
                 "Quantized val AUC %.4f vs f32 %.4f (Δ=%+.4f)",
-                compute_auc(labels, q_all),
-                compute_auc(labels, f_all),
-                compute_auc(labels, q_all) - compute_auc(labels, f_all),
+                q_auc, f_auc, q_auc - f_auc,
             )
     else:
         logger.info(

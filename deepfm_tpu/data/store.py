@@ -105,6 +105,10 @@ def save_packed(arrays: PackedArrays, d: str | Path) -> None:
             d / "user_ids.npy",
             np.ascontiguousarray(arrays.user_ids, np.int64),
         )
+    else:
+        # a stale user_ids.npy from a previous save would otherwise be
+        # picked up by load_packed and group metrics by the wrong users
+        (d / "user_ids.npy").unlink(missing_ok=True)
 
 
 def load_packed(d: str | Path, mmap: bool = True) -> PackedArrays:

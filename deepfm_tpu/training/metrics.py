@@ -65,7 +65,9 @@ def compute_calibration(
 
     * ``pcoc`` — predicted-over-observed click rate, mean(p)/mean(y):
       the production CTR calibration headline (1.0 = perfectly
-      calibrated in aggregate; >1 over-predicts). NaN when no positives.
+      calibrated in aggregate; >1 over-predicts). Omitted when the
+      split has no positives (NaN would poison results.json — strict
+      JSON has no NaN token).
     * ``ece`` — expected calibration error: scores bucketed into
       ``num_bins`` equal-width bins, sum over bins of
       (bin weight) * |mean(p) - mean(y)| within the bin.
@@ -79,7 +81,9 @@ def compute_calibration(
     scores = np.asarray(scores, dtype=np.float64)
     n = len(labels)
     mean_y = labels.mean() if n else 0.0
-    pcoc = float(scores.mean() / mean_y) if mean_y > 0 else float("nan")
+    out: dict[str, float] = {}
+    if mean_y > 0:
+        out["pcoc"] = float(scores.mean() / mean_y)
 
     edges = np.linspace(0.0, 1.0, num_bins + 1)
     which = np.clip(np.digitize(scores, edges[1:-1]), 0, num_bins - 1)
@@ -90,7 +94,8 @@ def compute_calibration(
         if cnt == 0:
             continue
         ece += (cnt / n) * abs(scores[m].mean() - labels[m].mean())
-    return {"pcoc": pcoc, "ece": float(ece)}
+    out["ece"] = float(ece)
+    return out
 
 
 def compute_hr_at_k(rankings: list[np.ndarray], k: int) -> float:

@@ -1089,6 +1089,14 @@ class Trainer:
     # loop synchronizes a single scalar per epoch.
     # ------------------------------------------------------------------
 
+    def _budget_batches(self, data: PackedArrays, batch_size: int) -> int:
+        """How many batches fit the staging budget (>= 1)."""
+        bytes_per_batch = batch_size * (
+            4 * data.ids.shape[1] + 4 * data.dense.shape[1] + 8
+        )
+        budget = self.config.training.stage_budget_mb * (1 << 20)
+        return max(1, budget // max(bytes_per_batch, 1))
+
     def _chunk_plan(
         self, data: PackedArrays, batch_size: int, *, shuffle: bool,
         drop_remainder: bool,
@@ -1118,11 +1126,7 @@ class Trainer:
             order = np.concatenate([order, np.zeros(pad, np.int64)])
             weights = np.concatenate([weights, np.zeros(pad, np.float32)])
 
-        bytes_per_batch = batch_size * (
-            4 * data.ids.shape[1] + 4 * data.dense.shape[1] + 8
-        )
-        budget = self.config.training.stage_budget_mb * (1 << 20)
-        chunk_nb = max(1, min(nb, budget // max(bytes_per_batch, 1)))
+        chunk_nb = max(1, min(nb, self._budget_batches(data, batch_size)))
 
         for start in range(0, nb, chunk_nb):
             cb = min(chunk_nb, nb - start)
@@ -1392,13 +1396,39 @@ class Trainer:
         """Sigmoid probabilities for every row of ``data``, in order.
 
         The batch-scoring (serving) entry point: one scan dispatch per
-        staged chunk, one host fetch. Reference capability analogue:
+        staged chunk, one host fetch. Splits larger than the staging
+        budget stream chunk-by-chunk (eval memory stays bounded — the
+        out-of-core contract); smaller ones stage once and cache across
+        epochs. Reference capability analogue:
         model.predict over a DataLoader (reference deepfm/models/
         base.py:70-76, trainer.py:267-276), as a single compiled
         program instead of a per-batch python loop.
         """
         tc = self.config.training
         n = len(data)
+        nb = -(-n // tc.batch_size)
+        if nb > self._budget_batches(data, tc.batch_size):
+            # Large split: STREAM chunk-by-chunk (stage -> scan -> host
+            # fetch -> release) so eval device memory is bounded by one
+            # stage budget — the same out-of-core contract as the train
+            # path. No caching: a split this size would pin the budget.
+            parts = []
+            for _, arrays in self._chunk_plan(
+                data, tc.batch_size, shuffle=False, drop_remainder=False
+            ):
+                staged = self._put_staged(arrays)
+                parts.append(
+                    np.asarray(
+                        self._eval_scan(
+                            self.state.params,
+                            self.state.batch_stats,
+                            staged[0],
+                            staged[1],
+                        )
+                    )
+                )
+                staged = None  # release before staging the next chunk
+            return np.concatenate(parts)[:n]
         cache = getattr(self, "_eval_stage_cache", None)
         if cache is None:
             cache = self._eval_stage_cache = {}
@@ -1546,6 +1576,7 @@ class Trainer:
                 "best_metrics": best_metrics,
                 "patience_counter": patience_counter,
                 "scheduler": self.scheduler.state_dict(),
+                "scheduler_type": type(self.scheduler).__name__,
                 "history": self.history,
                 # resume restores optimizer state, whose tree structure
                 # depends on these two resolutions — recorded so a
@@ -1615,6 +1646,16 @@ class Trainer:
             state = jax.device_put(state, state_shardings(self.mesh, state))
         self.state = state
         self.epoch = meta["epoch"]
+        saved_sched = meta.get("scheduler_type")
+        if saved_sched is not None and saved_sched != type(
+            self.scheduler
+        ).__name__:
+            raise ValueError(
+                f"Cannot resume: checkpoint was written with scheduler "
+                f"{saved_sched} but this run uses "
+                f"{type(self.scheduler).__name__} (their states are "
+                f"incompatible). Match training.scheduler, or start fresh."
+            )
         self.scheduler.load_state_dict(meta["scheduler"])
         self.history = meta.get("history", [])
         self.state = self.state.replace(

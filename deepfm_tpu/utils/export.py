@@ -100,7 +100,14 @@ def quantized_scoring_model(config, packed, params):
     import jax.numpy as jnp
 
     from deepfm_tpu.models import create_model
+    from deepfm_tpu.utils.layout import convert_table_tree
 
+    # Accept packed-layout trainer params: quantization reads the
+    # logical view (the packed (phys, 128) leaf would mis-key qtabs by
+    # physical width). The caller's own params pass through apply()
+    # untouched either way — the injected lookup never reads the f32
+    # table leaf, so its layout is irrelevant at trace time.
+    params = convert_table_tree(params, packed, to_packed=False)
     qtabs = quantize_embedding_tables(params)
 
     def qlookup(table, flat_ids):

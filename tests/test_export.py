@@ -307,6 +307,31 @@ class TestQuantizedExport:
         probs = score(ids, dense)
         assert np.all((probs >= 0) & (probs <= 1))
 
+    def test_export_command_static_batch_exceeding_val(self, trained_dir):
+        """--batch-size bigger than the val split: verification pads
+        with OOV rows instead of crashing on the pinned shape."""
+        import yaml
+
+        from deepfm_tpu.cli import main
+
+        root, overrides = trained_dir
+        cfg_path = root / "config_bs.yaml"
+        cfg_path.write_text(yaml.safe_dump(overrides))
+        artifact = root / "deepfm_bs.stablehlo"
+        main(
+            [
+                "export",
+                "--config",
+                str(cfg_path),
+                "--output",
+                str(artifact),
+                "--batch-size",
+                "65536",
+            ]
+        )
+        score = load_scoring(artifact)
+        assert score.exported.in_avals[0].shape[0] == 65536
+
     def test_export_command_rejects_bad_platform_verify(self, trained_dir):
         """--platforms with only a foreign platform skips verification
         but still writes a loadable artifact description."""

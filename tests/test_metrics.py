@@ -119,9 +119,9 @@ class TestCalibration:
         assert m["pcoc"] == pytest.approx(2.0, abs=0.05)
         assert m["ece"] > 0.2
 
-    def test_no_positives(self):
+    def test_no_positives_omits_pcoc(self):
         m = compute_calibration(np.zeros(10), np.full(10, 0.3))
-        assert np.isnan(m["pcoc"])
+        assert "pcoc" not in m  # NaN would poison strict-JSON consumers
         assert m["ece"] == pytest.approx(0.3, abs=1e-9)
 
     def test_exact_constant_bin(self):

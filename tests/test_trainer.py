@@ -133,6 +133,26 @@ def test_resume_roundtrip(tmp_path):
     assert [h["epoch"] for h in tr2.history] == [1, 2]
 
 
+def test_predict_streams_large_splits(tmp_path):
+    """A split bigger than the staging budget is scored chunk-by-chunk
+    (bounded eval memory) with scores identical to the staged path."""
+    packed, arr = _make_data(n=256)
+    cfg_stream = _cfg(tmp_path / "a", stage_budget_mb=0)  # 1 batch/chunk
+    model = create_model("deepfm", packed, cfg_stream)
+    tr = Trainer(model, packed, cfg_stream, arr, arr, arr)
+    streamed = tr.predict(arr)
+    assert len(streamed) == 256
+    assert not hasattr(tr, "_eval_stage_cache") or not tr._eval_stage_cache
+
+    cfg_staged = _cfg(tmp_path / "b", stage_budget_mb=1024)
+    model2 = create_model("deepfm", packed, cfg_staged)
+    tr2 = Trainer(model2, packed, cfg_staged, arr, arr, arr)
+    tr2.state = tr2.state.replace(
+        params=tr.state.params, batch_stats=tr.state.batch_stats
+    )
+    np.testing.assert_allclose(streamed, tr2.predict(arr), atol=1e-6)
+
+
 def test_history_in_results(tmp_path):
     import json
 
