@@ -376,6 +376,34 @@ def export_command(
         )
 
 
+def pack_data_command(config: ExperimentConfig, out_dir: str) -> None:
+    """Convert the configured dataset into an on-disk packed directory
+    (data/store.py layout): fit the adapter/transforms once, pack every
+    split, write schema.json + memory-mappable .npy splits. Training can
+    then use ``data.dataset_name=packed data.data_dir=<out>`` — no
+    adapter/pandas work at train time, and splits stream from disk."""
+    from deepfm_tpu.data.store import save_packed, save_schema
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_schema(schema, out / "schema.json")
+    for split, arrays in (
+        ("train", train_d), ("val", val_d), ("test", test_d)
+    ):
+        save_packed(arrays, out / split)
+        logger.info("%s: %d rows -> %s", split, len(arrays), out / split)
+    logger.info(
+        "Packed dataset written to %s (train with data.dataset_name="
+        "packed data.data_dir=%s)", out, out,
+    )
+
+
 def _fmt(d: dict, key: str) -> str:
     v = d.get(key)
     return f"{v:.4f}" if isinstance(v, float) else "-"
@@ -489,6 +517,7 @@ def main(argv: list[str] | None = None) -> None:
         ("evaluate", "Evaluate a saved model"),
         ("predict", "Batch-score an interactions file (serving)"),
         ("export", "Export the best checkpoint as a StableHLO artifact"),
+        ("pack-data", "Convert the configured dataset to a packed dir"),
     ]:
         p = sub.add_parser(name, help=help_)
         p.add_argument("--config", required=True, help="Path to YAML config")
@@ -498,6 +527,11 @@ def main(argv: list[str] | None = None) -> None:
             default=[],
             help="Override config values, e.g. training.num_epochs=10",
         )
+        if name == "pack-data":
+            p.add_argument(
+                "--out", required=True,
+                help="Output directory for the packed dataset",
+            )
         if name == "export":
             p.add_argument(
                 "--output", required=True,
@@ -594,6 +628,8 @@ def main(argv: list[str] | None = None) -> None:
             config, args.output, args.platforms, args.batch_size,
             args.quantize,
         )
+    elif args.command == "pack-data":
+        pack_data_command(config, args.out)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,45 @@ class TestSyntheticPackedWriter:
         assert np.all(np.asarray(train.weights) == 1.0)
 
 
+class TestPackDataCommand:
+    def test_movielens_roundtrip_preserves_everything(self, tmp_path):
+        """pack-data converts a fitted MovieLens pipeline to disk; the
+        reloaded splits are bit-identical to the in-memory build
+        (same seed -> same adapter state), including user_ids."""
+        import yaml
+
+        from deepfm_tpu.cli import _build_data, main
+        from deepfm_tpu.data.synthetic import generate_movielens_like
+
+        data_dir = tmp_path / "ml"
+        generate_movielens_like(
+            data_dir, num_users=50, num_items=60, num_rows=2000, seed=5
+        )
+        overrides = {
+            "output_dir": str(tmp_path / "out"),
+            "data": {
+                "data_dir": str(data_dir),
+                "num_neg_train": 1,
+                "num_neg_eval": 5,
+            },
+        }
+        cfg_path = tmp_path / "c.yaml"
+        cfg_path.write_text(yaml.safe_dump(overrides))
+        out = tmp_path / "packed"
+        main(["pack-data", "--config", str(cfg_path), "--out", str(out)])
+
+        cfg = config_from_dict(overrides)
+        _, schema, packed, train_d, val_d, test_d = _build_data(cfg)
+        for split, want in (("train", train_d), ("val", val_d),
+                            ("test", test_d)):
+            got = load_packed(out / split)
+            np.testing.assert_array_equal(got.ids, want.ids)
+            np.testing.assert_array_equal(got.labels, want.labels)
+            assert got.user_ids is not None
+            np.testing.assert_array_equal(got.user_ids, want.user_ids)
+        assert load_schema(out / "schema.json") == schema
+
+
 class TestOutOfCoreTraining:
     def test_trainer_runs_from_memmap(self, tmp_path):
         from deepfm_tpu.cli import _build_data
