@@ -376,6 +376,62 @@ def export_command(
         )
 
 
+def recommend_command(
+    config: ExperimentConfig,
+    user: int,
+    k: int,
+    include_seen: bool,
+) -> None:
+    """Top-K retrieval for one user: score the full item catalog through
+    the best checkpoint (the same compiled eval scan as predict) and
+    print the K highest-scoring items. Serving is out of the reference's
+    scope (reference prd.md:23-27)."""
+    import numpy as np
+
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.trainer import Trainer
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+
+    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    if not hasattr(adapter, "recommend_candidates"):
+        raise SystemExit(
+            f"recommend: dataset {config.data.dataset_name!r} has no "
+            "catalog-retrieval path (movielens-format only)"
+        )
+    try:
+        ds, item_ids = adapter.recommend_candidates(
+            user, exclude_seen=not include_seen
+        )
+    except ValueError as e:
+        raise SystemExit(f"recommend: {e}") from None
+    if len(item_ids) == 0:
+        raise SystemExit(f"recommend: user {user} has no unseen items")
+
+    mesh = build_runtime(config)
+    model = create_model(config.model_name, packed, config, mesh=mesh)
+    trainer = Trainer(
+        model=model,
+        packed_schema=packed,
+        config=config,
+        train_data=val_d,  # unused for scoring
+        val_data=val_d,
+        test_data=test_d,
+        mesh=mesh,
+    )
+    trainer.load_best()
+    scores = trainer.predict(ds.pack(packed))
+    top = np.argsort(-scores)[:k]
+    print(f"Top-{min(k, len(top))} items for user {user}:")
+    print(f"{'rank':>4}  {'item':>6}  score")
+    for r, i in enumerate(top, 1):
+        print(f"{r:>4}  {int(item_ids[i]):>6}  {scores[i]:.4f}")
+    logger.info(
+        "Scored %d candidate items for user %d", len(item_ids), user
+    )
+
+
 def pack_data_command(config: ExperimentConfig, out_dir: str) -> None:
     """Convert the configured dataset into an on-disk packed directory
     (data/store.py layout): fit the adapter/transforms once, pack every
@@ -518,6 +574,7 @@ def main(argv: list[str] | None = None) -> None:
         ("predict", "Batch-score an interactions file (serving)"),
         ("export", "Export the best checkpoint as a StableHLO artifact"),
         ("pack-data", "Convert the configured dataset to a packed dir"),
+        ("recommend", "Top-K item retrieval for a user (serving)"),
     ]:
         p = sub.add_parser(name, help=help_)
         p.add_argument("--config", required=True, help="Path to YAML config")
@@ -531,6 +588,15 @@ def main(argv: list[str] | None = None) -> None:
             p.add_argument(
                 "--out", required=True,
                 help="Output directory for the packed dataset",
+            )
+        if name == "recommend":
+            p.add_argument(
+                "--user", type=int, required=True, help="Raw user id"
+            )
+            p.add_argument("--k", type=int, default=10)
+            p.add_argument(
+                "--include-seen", action="store_true",
+                help="Rank already-interacted items too",
             )
         if name == "export":
             p.add_argument(
@@ -630,6 +696,8 @@ def main(argv: list[str] | None = None) -> None:
         )
     elif args.command == "pack-data":
         pack_data_command(config, args.out)
+    elif args.command == "recommend":
+        recommend_command(config, args.user, args.k, args.include_seen)
 
 
 if __name__ == "__main__":

@@ -171,7 +171,53 @@ class MovieLensAdapter:
             ]
         )
         kept = np.nonzero(known)[0]
-        raw = raw[kept]
+        return self._score_rows(raw[kept]), kept, total
+
+    def recommend_candidates(
+        self,
+        raw_user_id: int,
+        exclude_seen: bool = True,
+        timestamp: int | None = None,
+    ) -> tuple[TabularDataset, np.ndarray]:
+        """Top-K retrieval candidates: ONE user crossed with every item.
+
+        Returns (dataset, raw_item_ids) — score the dataset and argsort
+        to rank the catalog for this user. ``exclude_seen`` drops items
+        the user already interacted with (the standard retrieval
+        setting); ``timestamp`` stamps the request time for the
+        time-derived features (defaults to the newest interaction in the
+        fitted data, i.e. "now" for this dataset). No reference
+        counterpart (serving is out of scope there, prd.md:23-27).
+        """
+        if self._schema is None:
+            raise RuntimeError("Call build() first")
+        if int(raw_user_id) not in self._uid_pos:
+            raise ValueError(f"Unknown user id {raw_user_id}")
+        upos = self._uid_pos[int(raw_user_id)]
+        mask = (
+            ~self._seen[upos]
+            if exclude_seen
+            else np.ones(self._n_items, bool)
+        )
+        items = np.nonzero(mask)[0]
+        if timestamp is None:
+            timestamp = int(self._inter["timestamp"].max())
+        n = len(items)
+        raw = np.stack(
+            [
+                np.full(n, int(raw_user_id), np.int64),
+                self._mid_raw[items],
+                np.zeros(n, np.int64),  # unlabeled traffic
+                np.full(n, timestamp, np.int64),
+            ],
+            axis=1,
+        )
+        return self._score_rows(raw), self._mid_raw[items]
+
+    def _score_rows(self, raw: np.ndarray) -> TabularDataset:
+        """Transform (n, 4) [user, item, rating, ts] rows of KNOWN
+        entities with the fitted encoders — the shared serving core of
+        score_interactions / recommend_candidates."""
         uid = np.asarray(
             [self._uid_pos[int(u)] for u in raw[:, 0]], np.int64
         )
@@ -205,7 +251,7 @@ class MovieLensAdapter:
         labels = (
             raw[:, 2].astype(np.float64) >= self.config.label_threshold
         ).astype(np.float32)
-        return TabularDataset(feats, labels), kept, total
+        return TabularDataset(feats, labels)
 
     @property
     def schema(self) -> DatasetSchema:

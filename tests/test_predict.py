@@ -143,3 +143,50 @@ class TestPredictCLI:
         vals = np.asarray([float(ln.split("\t")[2]) for ln in lines])
         assert np.all((vals >= 0.0) & (vals <= 1.0))
         assert np.std(vals) > 0  # not a constant output
+
+
+class TestRecommendCandidates:
+    def test_feature_parity_with_score_interactions(
+        self, built_adapter, tmp_path
+    ):
+        """Candidates for (user x all items) carry exactly the features
+        score_interactions derives for the same (user, item, ts) rows."""
+        adapter, schema = built_adapter
+        uid = int(adapter._uid_raw[0])
+        ts = 880_000_000
+        ds, items = adapter.recommend_candidates(
+            uid, exclude_seen=False, timestamp=ts
+        )
+        assert len(ds) == len(items) == adapter._n_items
+
+        raw = np.stack(
+            [
+                np.full(len(items), uid, np.int64),
+                items,
+                np.zeros(len(items), np.int64),
+                np.full(len(items), ts, np.int64),
+            ],
+            axis=1,
+        )
+        path = tmp_path / "cand.data"
+        np.savetxt(path, raw, fmt="%d", delimiter="\t")
+        ds2, kept, total = adapter.score_interactions(path)
+        assert total == len(kept)
+        for name in ds.features:
+            np.testing.assert_array_equal(
+                ds.features[name], ds2.features[name], err_msg=name
+            )
+
+    def test_exclude_seen_drops_interacted_items(self, built_adapter):
+        adapter, schema = built_adapter
+        uid = int(adapter._uid_raw[0])
+        upos = adapter._uid_pos[uid]
+        ds, items = adapter.recommend_candidates(uid)  # exclude_seen
+        assert len(items) == adapter._n_items - adapter._seen[upos].sum()
+        seen_raw = set(adapter._mid_raw[adapter._seen[upos]].tolist())
+        assert not (set(items.tolist()) & seen_raw)
+
+    def test_unknown_user_raises(self, built_adapter):
+        adapter, schema = built_adapter
+        with pytest.raises(ValueError, match="Unknown user"):
+            adapter.recommend_candidates(10_000_000)
