@@ -365,3 +365,57 @@ def test_trainer_gate_engages_fused_path_on_hardware(tpu, tmp_path):
     w = jnp.ones((32,), jnp.float32)
     state, loss = tr._train_step(tr.state, ids, dense, lab, w)
     assert np.isfinite(float(loss))
+
+
+def test_stablehlo_export_runs_on_tpu(tpu, tmp_path):
+    """The serving artifact lowers for and executes on the TPU backend,
+    matching the in-process predict scores."""
+    import jax
+    import numpy as np
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.utils.export import (
+        export_scoring,
+        load_scoring,
+        save_scoring,
+        serving_config,
+    )
+    from cpu_conftest_helpers import make_synth_schema
+
+    cfg = serving_config(
+        config_from_dict(
+            {
+                "feature": {"fm_embed_dim": 8},
+                "dnn": {"hidden_units": [16], "dropout": 0.0},
+            }
+        )
+    )
+    packed = pack_schema(make_synth_schema())
+    model = create_model("deepfm", packed, cfg)
+    ids0 = np.zeros((8, packed.num_slots), np.int32)
+    dense0 = np.zeros((8, packed.num_dense), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), ids0, dense0, train=False)
+    exported = export_scoring(
+        model,
+        variables["params"],
+        variables.get("batch_stats", {}),
+        packed.num_slots,
+        packed.num_dense,
+        platforms=("tpu",),
+    )
+    path = tmp_path / "m.stablehlo"
+    save_scoring(path, exported)
+    score = load_scoring(path)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 3, (16, packed.num_slots)).astype(np.int32)
+    dense = rng.normal(size=(16, packed.num_dense)).astype(np.float32)
+    got = score(ids, dense)
+    vr = {"params": variables["params"]}
+    if variables.get("batch_stats"):
+        vr["batch_stats"] = variables["batch_stats"]
+    want = np.asarray(
+        model.apply(vr, ids, dense, method=model.predict)
+    )[:, 0]
+    np.testing.assert_allclose(got, want, atol=1e-5)
