@@ -9,6 +9,7 @@ from deepfm_tpu.data.packing import PackedSchema, pack_schema
 from deepfm_tpu.data.schema import DatasetSchema
 from deepfm_tpu.models.attention_deepfm import AttentionDeepFM
 from deepfm_tpu.models.base import CTRModel, embedding_l2_loss
+from deepfm_tpu.models.baselines import DNNOnly, FM, LogisticRegression
 from deepfm_tpu.models.deepfm import DeepFM
 from deepfm_tpu.models.xdeepfm import xDeepFM
 
@@ -16,6 +17,10 @@ MODEL_REGISTRY: dict[str, type[CTRModel]] = {
     "deepfm": DeepFM,
     "xdeepfm": xDeepFM,
     "attention_deepfm": AttentionDeepFM,
+    # ablation baselines (models/baselines.py) — beyond reference scope
+    "lr": LogisticRegression,
+    "fm": FM,
+    "dnn": DNNOnly,
 }
 
 

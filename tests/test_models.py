@@ -97,7 +97,10 @@ def test_registry_unknown_raises(setup, small_cfg):
 
 
 def test_registry_names():
-    assert set(MODEL_REGISTRY) == {"deepfm", "xdeepfm", "attention_deepfm"}
+    # the reference's three models + the ablation baselines
+    assert set(MODEL_REGISTRY) == {
+        "deepfm", "xdeepfm", "attention_deepfm", "lr", "fm", "dnn",
+    }
 
 
 def test_accepts_dataset_schema(small_cfg):
