@@ -34,6 +34,11 @@ def run_one(model_name: str, data_dir: str, seed: int, out_dir: str,
         "deepfm": "configs/deepfm_movielens.yaml",
         "xdeepfm": "configs/xdeepfm_movielens.yaml",
         "attention_deepfm": "configs/attention_deepfm_movielens.yaml",
+        # ablation baselines ride the deepfm config (shared embedding/
+        # training hyperparameters; the registry name picks the heads)
+        "lr": "configs/deepfm_movielens.yaml",
+        "fm": "configs/deepfm_movielens.yaml",
+        "dnn": "configs/deepfm_movielens.yaml",
     }[model_name]
     config = load_config(
         cfg_file,
@@ -42,6 +47,7 @@ def run_one(model_name: str, data_dir: str, seed: int, out_dir: str,
             f"data.num_neg_eval={num_neg_eval}",
             f"seed={seed}",
             f"output_dir={out_dir}",
+            f"model_name={model_name}",
         ],
     )
     seed_everything(config.seed)
