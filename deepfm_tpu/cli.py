@@ -180,26 +180,34 @@ def train_command(config: ExperimentConfig) -> None:
     trainer.train()
 
 
-def evaluate_command(config: ExperimentConfig) -> None:
+def _restore_trainer(config: ExperimentConfig, use_mesh: bool = True):
+    """Shared serving-command prologue: build the fitted data pipeline,
+    the model (optionally mesh-sharded), a Trainer around it, and load
+    the best checkpoint. Returns (adapter, packed, val_d, test_d,
+    model, trainer)."""
     from deepfm_tpu.models import create_model
     from deepfm_tpu.training.trainer import Trainer
 
-    logger = get_logger("deepfm_tpu")
-    seed_everything(config.seed)
-
     adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
-    mesh = build_runtime(config)
+    mesh = build_runtime(config) if use_mesh else None
     model = create_model(config.model_name, packed, config, mesh=mesh)
     trainer = Trainer(
         model=model,
         packed_schema=packed,
         config=config,
-        train_data=val_d,  # unused for eval
+        train_data=val_d,  # unused outside train
         val_data=val_d,
         test_data=test_d,
         mesh=mesh,
     )
     trainer.load_best()
+    return adapter, packed, val_d, test_d, model, trainer
+
+
+def evaluate_command(config: ExperimentConfig) -> None:
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+    _, packed, val_d, test_d, model, trainer = _restore_trainer(config)
     logger.info("--- Validation ---")
     for k, v in trainer.evaluate(val_d, "val").items():
         logger.info(f"  val_{k} = {v:.4f}")
@@ -221,13 +229,12 @@ def predict_command(
 
     import numpy as np
 
-    from deepfm_tpu.models import create_model
-    from deepfm_tpu.training.trainer import Trainer
-
     logger = get_logger("deepfm_tpu")
     seed_everything(config.seed)
 
-    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    adapter, packed, val_d, test_d, model, trainer = _restore_trainer(
+        config
+    )
     if not hasattr(adapter, "score_interactions"):
         raise SystemExit(
             f"predict: dataset {config.data.dataset_name!r} has no "
@@ -240,19 +247,6 @@ def predict_command(
             total - len(kept), total,
         )
     score_d = score_ds.pack(packed)
-
-    mesh = build_runtime(config)
-    model = create_model(config.model_name, packed, config, mesh=mesh)
-    trainer = Trainer(
-        model=model,
-        packed_schema=packed,
-        config=config,
-        train_data=score_d,  # unused for scoring
-        val_data=val_d,
-        test_data=test_d,
-        mesh=mesh,
-    )
-    trainer.load_best()
 
     t0 = _time.perf_counter()
     scores = trainer.predict(score_d)
@@ -285,8 +279,6 @@ def export_command(
     import jax
     import numpy as np
 
-    from deepfm_tpu.models import create_model
-    from deepfm_tpu.training.trainer import Trainer
     from deepfm_tpu.utils.export import (
         export_scoring,
         load_scoring,
@@ -299,17 +291,11 @@ def export_command(
     seed_everything(config.seed)
 
     scfg = serving_config(config)
-    adapter, schema, packed, train_d, val_d, test_d = _build_data(scfg)
-    model = create_model(scfg.model_name, packed, scfg)
-    trainer = Trainer(
-        model=model,
-        packed_schema=packed,
-        config=scfg,
-        train_data=val_d,  # unused for export
-        val_data=val_d,
-        test_data=test_d,
+    # no mesh: the artifact is single-program; cross-layout restore
+    # converts packed checkpoints to the serving model's logical tables
+    _, packed, val_d, _, model, trainer = _restore_trainer(
+        scfg, use_mesh=False
     )
-    trainer.load_best()  # cross-layout restore: packed ckpts convert
 
     export_model = model
     if quantize is not None:
@@ -388,13 +374,12 @@ def recommend_command(
     scope (reference prd.md:23-27)."""
     import numpy as np
 
-    from deepfm_tpu.models import create_model
-    from deepfm_tpu.training.trainer import Trainer
-
     logger = get_logger("deepfm_tpu")
     seed_everything(config.seed)
 
-    adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    adapter, packed, val_d, test_d, model, trainer = _restore_trainer(
+        config
+    )
     if not hasattr(adapter, "recommend_candidates"):
         raise SystemExit(
             f"recommend: dataset {config.data.dataset_name!r} has no "
@@ -409,18 +394,6 @@ def recommend_command(
     if len(item_ids) == 0:
         raise SystemExit(f"recommend: user {user} has no unseen items")
 
-    mesh = build_runtime(config)
-    model = create_model(config.model_name, packed, config, mesh=mesh)
-    trainer = Trainer(
-        model=model,
-        packed_schema=packed,
-        config=config,
-        train_data=val_d,  # unused for scoring
-        val_data=val_d,
-        test_data=test_d,
-        mesh=mesh,
-    )
-    trainer.load_best()
     scores = trainer.predict(ds.pack(packed))
     top = np.argsort(-scores)[:k]
     print(f"Top-{min(k, len(top))} items for user {user}:")
