@@ -457,6 +457,9 @@ def print_comparison_table(runs: list[dict]) -> None:
         key=lambda x: int(x.split("@")[1]),
     )
     ranking_keys = hr + ndcg
+    # calibration column only when some run reports it (older
+    # results.json files predate the metric)
+    show_ece = any("ece" in r.get("test_metrics", {}) for r in runs)
 
     header = (
         "Run".ljust(w_run)
@@ -467,6 +470,7 @@ def print_comparison_table(runs: list[dict]) -> None:
         + "Tst AUC".rjust(w_m)
         + "Tst LogL".rjust(w_m)
         + "".join(k.rjust(w_m) for k in ranking_keys)
+        + ("Tst ECE".rjust(w_m) if show_ece else "")
         + "BstEp".rjust(w_m)
         + "Ex/s".rjust(w_m + 2)
         + "Eff".rjust(8)
@@ -500,6 +504,7 @@ def print_comparison_table(runs: list[dict]) -> None:
             + _fmt(tm, "auc").rjust(w_m)
             + _fmt(tm, "logloss").rjust(w_m)
             + "".join(_fmt(tm, k).rjust(w_m) for k in ranking_keys)
+            + (_fmt(tm, "ece").rjust(w_m) if show_ece else "")
             + str(ti.get("best_epoch", "-")).rjust(w_m)
             + eps_s.rjust(w_m + 2)
             + eff_s.rjust(8)

@@ -185,3 +185,16 @@ def test_maybe_init_multihost(monkeypatch):
         mesh_mod, "initialize_distributed", lambda **kw: True
     )
     assert maybe_init_multihost(on) is True
+
+
+def test_compare_ece_column_conditional(capsys):
+    """The calibration column appears only when some run reports it."""
+    old = _fake_run()
+    print_comparison_table([old])
+    assert "Tst ECE" not in capsys.readouterr().out
+
+    new = _fake_run("run3")
+    new["test_metrics"]["ece"] = 0.0123
+    print_comparison_table([old, new])
+    out = capsys.readouterr().out
+    assert "Tst ECE" in out and "0.0123" in out

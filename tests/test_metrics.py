@@ -130,3 +130,23 @@ class TestCalibration:
         m = compute_calibration(labels, scores)
         assert m["pcoc"] == pytest.approx(1.0)
         assert m["ece"] == pytest.approx(0.0)
+
+    def test_bins_match_sklearn_calibration_curve(self):
+        """ECE's per-bin (mean_pred, frac_pos) decomposition equals
+        sklearn's calibration_curve with uniform bins."""
+        from sklearn.calibration import calibration_curve
+
+        rng = np.random.default_rng(7)
+        scores = rng.uniform(0, 1, 5000)
+        labels = (rng.random(5000) < scores ** 2).astype(float)
+        frac_pos, mean_pred = calibration_curve(
+            labels, scores, n_bins=10, strategy="uniform"
+        )
+        # recompute our ECE from sklearn's bins and compare
+        edges = np.linspace(0.0, 1.0, 11)
+        which = np.clip(np.digitize(scores, edges[1:-1]), 0, 9)
+        counts = np.bincount(which, minlength=10).astype(float)
+        weights = counts[counts > 0] / len(scores)
+        want = float(np.sum(weights * np.abs(mean_pred - frac_pos)))
+        got = compute_calibration(labels, scores)["ece"]
+        assert got == pytest.approx(want, abs=1e-9)
