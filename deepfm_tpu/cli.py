@@ -180,15 +180,26 @@ def train_command(config: ExperimentConfig) -> None:
     trainer.train()
 
 
-def _restore_trainer(config: ExperimentConfig, use_mesh: bool = True):
+def _restore_trainer(
+    config: ExperimentConfig,
+    use_mesh: bool = True,
+    require: tuple[str, str] | None = None,
+):
     """Shared serving-command prologue: build the fitted data pipeline,
     the model (optionally mesh-sharded), a Trainer around it, and load
     the best checkpoint. Returns (adapter, packed, val_d, test_d,
-    model, trainer)."""
+    model, trainer). ``require=(command, adapter_method)`` fails fast —
+    BEFORE the expensive model build + checkpoint restore — when the
+    dataset's adapter lacks a needed serving capability."""
     from deepfm_tpu.models import create_model
     from deepfm_tpu.training.trainer import Trainer
 
     adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    if require is not None and not hasattr(adapter, require[1]):
+        raise SystemExit(
+            f"{require[0]}: dataset {config.data.dataset_name!r} has no "
+            f"{require[1]} path (movielens-format only)"
+        )
     mesh = build_runtime(config) if use_mesh else None
     model = create_model(config.model_name, packed, config, mesh=mesh)
     trainer = Trainer(
@@ -233,13 +244,8 @@ def predict_command(
     seed_everything(config.seed)
 
     adapter, packed, val_d, test_d, model, trainer = _restore_trainer(
-        config
+        config, require=("predict", "score_interactions")
     )
-    if not hasattr(adapter, "score_interactions"):
-        raise SystemExit(
-            f"predict: dataset {config.data.dataset_name!r} has no "
-            "interactions-file scoring path (movielens-format only)"
-        )
     score_ds, kept, total = adapter.score_interactions(input_path)
     if len(kept) < total:
         logger.warning(
@@ -377,14 +383,11 @@ def recommend_command(
     logger = get_logger("deepfm_tpu")
     seed_everything(config.seed)
 
+    if k < 1:
+        raise SystemExit(f"recommend: --k must be >= 1, got {k}")
     adapter, packed, val_d, test_d, model, trainer = _restore_trainer(
-        config
+        config, require=("recommend", "recommend_candidates")
     )
-    if not hasattr(adapter, "recommend_candidates"):
-        raise SystemExit(
-            f"recommend: dataset {config.data.dataset_name!r} has no "
-            "catalog-retrieval path (movielens-format only)"
-        )
     try:
         ds, item_ids = adapter.recommend_candidates(
             user, exclude_seen=not include_seen
@@ -416,6 +419,14 @@ def pack_data_command(config: ExperimentConfig, out_dir: str) -> None:
     logger = get_logger("deepfm_tpu")
     seed_everything(config.seed)
     adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
+    if hasattr(adapter, "resample_train"):
+        logger.warning(
+            "pack-data freezes ONE draw of train negatives: dataset %r "
+            "resamples them per epoch when trained directly, so training "
+            "from this packed directory changes the negative-sampling "
+            "protocol (expect a quality delta vs direct training)",
+            config.data.dataset_name,
+        )
 
     from pathlib import Path
 

@@ -171,7 +171,15 @@ class MovieLensAdapter:
             ]
         )
         kept = np.nonzero(known)[0]
-        return self._score_rows(raw[kept]), kept, total
+        raw = raw[kept]
+        uid = np.asarray(
+            [self._uid_pos[int(u)] for u in raw[:, 0]], np.int64
+        )
+        iid = np.asarray(
+            [self._mid_pos[int(m)] for m in raw[:, 1]], np.int64
+        )
+        ds = self._score_rows(uid, iid, raw[:, 2], raw[:, 3])
+        return ds, kept, total
 
     def recommend_candidates(
         self,
@@ -203,28 +211,29 @@ class MovieLensAdapter:
         if timestamp is None:
             timestamp = int(self._inter["timestamp"].max())
         n = len(items)
-        raw = np.stack(
-            [
-                np.full(n, int(raw_user_id), np.int64),
-                self._mid_raw[items],
-                np.zeros(n, np.int64),  # unlabeled traffic
-                np.full(n, timestamp, np.int64),
-            ],
-            axis=1,
+        # positional indices straight into the encoder tables: the
+        # catalog cross stays vectorized end to end
+        ds = self._score_rows(
+            np.full(n, upos, np.int64),
+            items.astype(np.int64),
+            np.zeros(n, np.int64),  # unlabeled traffic
+            np.full(n, timestamp, np.int64),
         )
-        return self._score_rows(raw), self._mid_raw[items]
+        return ds, self._mid_raw[items]
 
-    def _score_rows(self, raw: np.ndarray) -> TabularDataset:
-        """Transform (n, 4) [user, item, rating, ts] rows of KNOWN
-        entities with the fitted encoders — the shared serving core of
-        score_interactions / recommend_candidates."""
-        uid = np.asarray(
-            [self._uid_pos[int(u)] for u in raw[:, 0]], np.int64
-        )
-        iid = np.asarray(
-            [self._mid_pos[int(m)] for m in raw[:, 1]], np.int64
-        )
-        ts = raw[:, 3].astype(np.int64)
+    def _score_rows(
+        self,
+        uid: np.ndarray,
+        iid: np.ndarray,
+        rating: np.ndarray,
+        ts: np.ndarray,
+    ) -> TabularDataset:
+        """Transform rows of KNOWN entities with the fitted encoders —
+        the shared serving core of score_interactions /
+        recommend_candidates. Takes POSITIONAL user/item indices so the
+        hot path (catalog retrieval crosses one user with every item)
+        stays pure fancy-indexing, no per-row Python."""
+        ts = np.asarray(ts, np.int64)
 
         # the same engineering as _load/_assemble, on arbitrary rows
         days = ts // 86400
@@ -249,7 +258,7 @@ class MovieLensAdapter:
         feats["item_rating_count"] = self._item_enc["item_rating_count"][iid]
 
         labels = (
-            raw[:, 2].astype(np.float64) >= self.config.label_threshold
+            np.asarray(rating, np.float64) >= self.config.label_threshold
         ).astype(np.float32)
         return TabularDataset(feats, labels)
 

@@ -7,9 +7,11 @@ honest wide/deep/both decomposition on any dataset. No reference
 counterpart (the reference ships only the three full models,
 deepfm/models/__init__.py:12-17) — model-family breadth beyond parity.
 
-  lr:  logit = first_order                       (the "wide" half alone)
-  fm:  logit = first_order + FM(field_emb)       (classic FM)
-  dnn: logit = first_order + Linear(DNN(flat))   (the "deep" half alone)
+  lr:  logit = first_order                 (the "wide" half alone)
+  fm:  logit = first_order + FM(field_emb) (classic FM: linear + pairwise)
+  dnn: logit = Linear(DNN(flat))           (the "deep" half alone — no
+                                            first-order term, matching
+                                            the paper's DNN baseline)
 """
 
 from __future__ import annotations
@@ -57,7 +59,8 @@ class FM(CTRModel):
 
 
 class DNNOnly(CTRModel):
-    """Deep half alone: first-order + MLP over the flat embeddings."""
+    """Deep half alone: MLP over the flat embeddings, no first-order
+    term (the wide half would confound the wide/deep decomposition)."""
 
     def _build_components(self) -> None:
         cfg = self.config
@@ -86,5 +89,4 @@ class DNNOnly(CTRModel):
         flat_embeddings: jax.Array,
         train: bool,
     ) -> jax.Array:
-        dnn_out = self.output_linear(self.dnn(flat_embeddings, train=train))
-        return first_order + dnn_out
+        return self.output_linear(self.dnn(flat_embeddings, train=train))

@@ -64,18 +64,22 @@ from deepfm_tpu.data.packing import pack_schema
 from deepfm_tpu.data.synthetic import generate_movielens_like
 from deepfm_tpu.models import create_model
 from deepfm_tpu.training.trainer import Trainer
+from deepfm_tpu.utils.export import serving_config
 
 data_dir = tempfile.mkdtemp(prefix="mlserve_")
 out_dir = tempfile.mkdtemp(prefix="mlserve_out_")
 generate_movielens_like(data_dir, num_users=120, num_items=150,
                         num_rows=8000, seed=7)
-cfg = config_from_dict({
+# serving_config: kernel-free, logical tables — the exported artifact
+# must not contain Mosaic custom calls, so build the model the way the
+# `export` CLI command does (on any backend, including TPU)
+cfg = serving_config(config_from_dict({
     "output_dir": out_dir,
     "data": {"data_dir": data_dir, "num_neg_train": 2, "num_neg_eval": 25},
     "feature": {"fm_embed_dim": 8},
     "dnn": {"hidden_units": [32, 16], "dropout": 0.0},
     "training": {"batch_size": 1024, "num_epochs": 2},
-})
+}))
 adapter = MovieLensAdapter(cfg.data, seed=cfg.seed)
 schema, train_ds, val_ds, test_ds = adapter.build()
 packed = pack_schema(schema)
@@ -84,6 +88,7 @@ trainer = Trainer(model, packed, cfg, train_ds.pack(packed),
                   val_ds.pack(packed), test_ds.pack(packed),
                   adapter=adapter)
 best = trainer.train()
+trainer.load_best()  # serve the BEST checkpoint, not the last epoch
 {k: round(v, 4) for k, v in best.items() if k in ("auc", "logloss")}
 """),
     md("""
