@@ -22,15 +22,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np  # noqa: E402
 
 
-def run(fused: bool, steps: int):
+def run(fused: bool, steps: int, batch: int, vocab: int):
     import jax
 
-    from bench import _workload
+    import bench
     from deepfm_tpu.config import config_from_dict
     from deepfm_tpu.models import create_model
     from deepfm_tpu.training.trainer import Trainer
 
-    packed, arrays = _workload()
+    bench.VOCAB = vocab
+    packed, arrays = bench._workload(rows=batch)
     config = config_from_dict(
         {
             "model_name": "deepfm",
@@ -40,7 +41,7 @@ def run(fused: bool, steps: int):
                 "use_batch_norm": True,
             },
             "training": {
-                "batch_size": 16384,
+                "batch_size": batch,
                 "compute_dtype": "bfloat16",
                 "fused_backward": fused,
             },
@@ -58,7 +59,7 @@ def run(fused: bool, steps: int):
     )
     import jax.numpy as jnp
 
-    weights = jnp.ones((16384,), jnp.float32)
+    weights = jnp.ones((batch,), jnp.float32)
     losses = []
     for _ in range(steps):
         trainer.state, loss = trainer._train_step(
@@ -72,11 +73,23 @@ def run(fused: bool, steps: int):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--vocab", type=int, default=400_000)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (script self-test at tiny shapes; "
+        "the axon plugin ignores JAX_PLATFORMS)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        import jax as _jax
 
-    losses_f, params_f = run(fused=True, steps=args.steps)
+        _jax.config.update("jax_platforms", "cpu")
+
+    losses_f, params_f = run(True, args.steps, args.batch, args.vocab)
     print(f"fused losses:    {losses_f}")
-    losses_t, params_t = run(fused=False, steps=args.steps)
+    losses_t, params_t = run(False, args.steps, args.batch, args.vocab)
     print(f"two-pass losses: {losses_t}")
 
     import jax
