@@ -408,6 +408,37 @@ def recommend_command(
     )
 
 
+def serve_command(config: ExperimentConfig, host: str, port: int) -> None:
+    """Local JSON-over-HTTP scoring server over the best checkpoint:
+    GET /health, POST /score, GET /recommend (see deepfm_tpu/serving.py).
+    Serving is out of the reference's scope (reference prd.md:23-27);
+    production deployments should front the exported StableHLO artifact
+    instead (docs/SERVING.md)."""
+    from deepfm_tpu.serving import ScoringService, make_http_server
+
+    logger = get_logger("deepfm_tpu")
+    seed_everything(config.seed)
+    adapter, packed, _, _, model, trainer = _restore_trainer(
+        config, require=("serve", "score_id_pairs")
+    )
+    service = ScoringService(adapter, packed, trainer, config.model_name)
+    logger.info("Compiling the eval scan (warmup)...")
+    service.warmup()
+    server = make_http_server(service, host, port)
+    bound = server.server_address
+    logger.info(
+        "Serving %s on http://%s:%d  (GET /health, POST /score, "
+        "GET /recommend?user=U&k=K)",
+        config.model_name, bound[0], bound[1],
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("Shutting down")
+    finally:
+        server.server_close()
+
+
 def pack_data_command(config: ExperimentConfig, out_dir: str) -> None:
     """Convert the configured dataset into an on-disk packed directory
     (data/store.py layout): fit the adapter/transforms once, pack every
@@ -564,6 +595,7 @@ def main(argv: list[str] | None = None) -> None:
         ("export", "Export the best checkpoint as a StableHLO artifact"),
         ("pack-data", "Convert the configured dataset to a packed dir"),
         ("recommend", "Top-K item retrieval for a user (serving)"),
+        ("serve", "JSON-over-HTTP scoring/retrieval endpoint (serving)"),
     ]:
         p = sub.add_parser(name, help=help_)
         p.add_argument("--config", required=True, help="Path to YAML config")
@@ -606,6 +638,9 @@ def main(argv: list[str] | None = None) -> None:
                 help="Quantize embedding tables (per-row int8 scales; "
                 "~3.2x smaller artifact)",
             )
+        if name == "serve":
+            p.add_argument("--host", default="127.0.0.1")
+            p.add_argument("--port", type=int, default=8080)
         if name == "predict":
             p.add_argument(
                 "--input", required=True,
@@ -687,6 +722,8 @@ def main(argv: list[str] | None = None) -> None:
         pack_data_command(config, args.out)
     elif args.command == "recommend":
         recommend_command(config, args.user, args.k, args.include_seen)
+    elif args.command == "serve":
+        serve_command(config, args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -163,23 +163,64 @@ class MovieLensAdapter:
         if self._schema is None:
             raise RuntimeError("Call build() first")
         raw = np.loadtxt(path, dtype=np.int64).reshape(-1, 4)
-        total = len(raw)
+        ds, kept = self.score_id_pairs(
+            raw[:, 0], raw[:, 1], raw[:, 2], raw[:, 3]
+        )
+        return ds, kept, len(raw)
+
+    def score_id_pairs(
+        self,
+        users: np.ndarray,
+        items: np.ndarray,
+        ratings: np.ndarray | None = None,
+        timestamps: np.ndarray | None = None,
+    ) -> tuple[TabularDataset, np.ndarray]:
+        """In-memory serving twin of ``score_interactions``: transform
+        arbitrary (raw user id, raw item id) pairs with the FITTED train
+        encoders — the entry point online scoring services use (no file
+        round trip). ``timestamps`` default to the newest fitted
+        interaction ("now" for this dataset); ``ratings`` default to 0
+        (unlabeled traffic). Pairs whose user/item has no metadata row
+        are dropped, mirroring ``score_interactions``.
+
+        Returns (dataset, kept_row_indices). No reference counterpart
+        (serving is out of the reference's scope, prd.md:23-27).
+        """
+        if self._schema is None:
+            raise RuntimeError("Call build() first")
+        users = np.asarray(users, np.int64).reshape(-1)
+        items = np.asarray(items, np.int64).reshape(-1)
+        if users.shape != items.shape:
+            raise ValueError(
+                f"users/items length mismatch: {len(users)} vs {len(items)}"
+            )
+        n = len(users)
+        ratings = (
+            np.zeros(n, np.int64)
+            if ratings is None
+            else np.asarray(ratings, np.int64).reshape(-1)
+        )
+        timestamps = (
+            np.full(n, int(self._inter["timestamp"].max()), np.int64)
+            if timestamps is None
+            else np.asarray(timestamps, np.int64).reshape(-1)
+        )
         known = np.asarray(
             [
                 int(u) in self._uid_pos and int(m) in self._mid_pos
-                for u, m in zip(raw[:, 0], raw[:, 1])
-            ]
+                for u, m in zip(users, items)
+            ],
+            bool,
         )
         kept = np.nonzero(known)[0]
-        raw = raw[kept]
         uid = np.asarray(
-            [self._uid_pos[int(u)] for u in raw[:, 0]], np.int64
+            [self._uid_pos[int(u)] for u in users[kept]], np.int64
         )
         iid = np.asarray(
-            [self._mid_pos[int(m)] for m in raw[:, 1]], np.int64
+            [self._mid_pos[int(m)] for m in items[kept]], np.int64
         )
-        ds = self._score_rows(uid, iid, raw[:, 2], raw[:, 3])
-        return ds, kept, total
+        ds = self._score_rows(uid, iid, ratings[kept], timestamps[kept])
+        return ds, kept
 
     def recommend_candidates(
         self,
