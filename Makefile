@@ -1,4 +1,4 @@
-.PHONY: train evaluate predict export compare test test-all test-tpu lint format bench synth-data synth-packed weak-scaling collective-bytes fused-collectives profile
+.PHONY: train evaluate predict export serve compare test test-all test-tpu lint format bench synth-data synth-packed weak-scaling collective-bytes fused-collectives profile
 
 CONFIG ?= configs/deepfm_movielens.yaml
 ARGS ?=
@@ -14,6 +14,9 @@ predict:
 
 export:
 	python -m deepfm_tpu export --config $(CONFIG) --output $(OUTPUT) --override $(ARGS)
+
+serve:
+	python -m deepfm_tpu serve --config $(CONFIG) --port $(or $(PORT),8080) --override $(ARGS)
 
 compare:
 	python -m deepfm_tpu compare --dir outputs
