@@ -1689,6 +1689,8 @@ class Trainer:
     ) -> None:
         from datetime import datetime
 
+        from deepfm_tpu.training.telemetry import trainer_engagement
+
         results = {
             "run_id": self.output_dir.name,
             "timestamp": datetime.now().isoformat(timespec="seconds"),
@@ -1699,6 +1701,10 @@ class Trainer:
                 "best_epoch": best_epoch,
                 "total_epochs": total_epochs,
                 **self.throughput,
+                # engagement telemetry: which backward path / kernels the
+                # compiled step used (silent-gating regressions like
+                # round-3 49ec8b3 become visible in every artifact)
+                **trainer_engagement(self),
             },
             "history": self.history,
         }
