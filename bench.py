@@ -8,6 +8,24 @@ train step (fwd + bwd + Adam update) for EVERY model family: xDeepFM
 DeepFM. One JSON line per model; the flagship line prints LAST so a
 tail-parse picks it up.
 
+Tunnel resilience (the axon TPU tunnel intermittently wedges for
+20 min - 5 h; a wedge once zeroed a whole round's bench artifact):
+
+* the orchestrator PROBES the tunnel with a tiny matmul in a
+  subprocess under a hard timeout before any heavy work, retrying
+  within a bounded window;
+* each model benches in its OWN subprocess under a timeout, and its
+  JSON line is emitted (and flushed) the moment it completes — a later
+  wedge cannot zero earlier results;
+* a model that cannot be measured (wedged/timed out) emits its
+  last-known-good value from ``.bench_last_good.json`` tagged
+  ``"stale": true`` with provenance, so the artifact is parseable and
+  honest either way.
+
+Every line carries engagement telemetry (``backward`` path + engaged
+kernel list, training/telemetry.py) so a silent gating regression
+shows up in the artifact itself.
+
 The reference publishes no throughput numbers (SURVEY.md §6); the
 baseline for ``vs_baseline`` is an equivalent PyTorch DeepFM train step
 implemented in bench_baseline_torch.py, run on this host's CPU (the
@@ -29,13 +47,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+REPO = Path(__file__).parent
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+LAST_GOOD = REPO / ".bench_last_good.json"
 
 BATCH = 16384
 NUM_FIELDS = 26
@@ -44,6 +66,12 @@ WARMUP = 3
 STEPS = 10
 
 MODELS = ("xdeepfm", "attention_deepfm", "deepfm")  # flagship LAST
+
+# orchestration budgets (seconds) — overridable via env for local runs
+TOTAL_BUDGET = int(os.environ.get("DEEPFM_BENCH_BUDGET_S", "2700"))
+PROBE_TIMEOUT = 100
+PROBE_RETRY_SLEEP = 60
+WORKER_TIMEOUT_CAP = 1200
 
 
 def _workload(rows: int = BATCH):
@@ -76,12 +104,14 @@ def bench_tpu(
     pallas_overrides: dict | None = None,
     moments_dtype: str = "float32",
     fused_backward: bool = True,
-) -> float:
+) -> tuple[float, dict]:
+    """(examples/sec, engagement record) for one model's train step."""
     import jax
     import jax.numpy as jnp
 
     from deepfm_tpu.config import config_from_dict
     from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.telemetry import trainer_engagement
     from deepfm_tpu.training.trainer import Trainer
 
     packed, arrays = _workload()
@@ -112,6 +142,7 @@ def bench_tpu(
         val_data=arrays,
         test_data=arrays,
     )
+    engagement = trainer_engagement(trainer)
 
     # measure the production path: STEPS steps per dispatch via the
     # trainer's epoch scan (one compiled program, loop chained on-device)
@@ -137,7 +168,7 @@ def bench_tpu(
     trainer.state, loss = trainer._epoch_scan(trainer.state, staged)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    return BATCH * STEPS / dt, engagement
 
 
 def bench_inference(model_name: str) -> float:
@@ -208,6 +239,209 @@ def bench_torch_baseline() -> float | None:
         return None
 
 
+def _load_baseline(remeasure: bool) -> float | None:
+    baseline = bench_torch_baseline() if remeasure else None
+    if baseline is None and BASELINE_CACHE.exists():
+        baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
+    return baseline
+
+
+def _emit(line: dict) -> None:
+    print(json.dumps(line), flush=True)
+
+
+# ----------------------------------------------------------------------
+# worker mode: bench ONE model in this process, print one JSON line
+# ----------------------------------------------------------------------
+
+def run_worker(args) -> None:
+    name = args.worker
+    degraded = None
+    try:
+        value, engagement = bench_tpu(
+            name,
+            moments_dtype=args.moments_dtype,
+            fused_backward=not args.no_fused_backward,
+        )
+    except Exception as e:  # never lose the whole bench to one kernel
+        print(
+            f"# {name}: kernel path failed ({type(e).__name__}); "
+            "retrying with model-tower Pallas kernels off",
+            file=sys.stderr,
+        )
+        value, engagement = bench_tpu(
+            name,
+            pallas_overrides={
+                "use_attention_kernel": False,
+                "use_cin_kernel": False,
+            },
+            moments_dtype=args.moments_dtype,
+            fused_backward=not args.no_fused_backward,
+        )
+        # mark the JSON line itself — a stderr note alone once let a
+        # kernel crash ship as an unexplained "slowdown"
+        degraded = f"{type(e).__name__}: model-tower kernels off"
+
+    baseline = _load_baseline(args.remeasure_baseline)
+    line = {
+        "metric": f"{name}_train_step_throughput",
+        "value": round(value, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else 1.0,
+        "backward": engagement["backward"],
+        "kernels": engagement["kernels"],
+    }
+    if degraded:
+        line["degraded"] = degraded
+    if args.inference:
+        v = bench_inference(name)
+        _emit({
+            "metric": f"{name}_predict_throughput",
+            "value": round(v, 1),
+            "unit": "examples/sec/chip",
+            "vs_baseline": 1.0,
+        })
+    _emit(line)
+
+
+# ----------------------------------------------------------------------
+# orchestrator mode: probe + per-model subprocess + last-known-good
+# ----------------------------------------------------------------------
+
+def _probe_once() -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "tpu_probe.py")],
+            timeout=PROBE_TIMEOUT,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _probe_until(deadline: float) -> bool:
+    """Probe the tunnel until healthy or the window closes."""
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.monotonic()
+        ok = _probe_once()
+        print(
+            f"# probe attempt {attempt}: "
+            f"{'OK' if ok else 'wedged'} ({time.monotonic() - t0:.0f}s)",
+            file=sys.stderr,
+        )
+        if ok:
+            return True
+        if time.monotonic() + PROBE_RETRY_SLEEP + PROBE_TIMEOUT > deadline:
+            return False
+        time.sleep(PROBE_RETRY_SLEEP)
+
+
+def _stale_line(name: str, reason: str) -> dict:
+    """Last-known-good fallback line for one model, clearly marked."""
+    lkg = {}
+    if LAST_GOOD.exists():
+        lkg = json.loads(LAST_GOOD.read_text()).get(name, {})
+    line = {
+        "metric": f"{name}_train_step_throughput",
+        "value": lkg.get("value", 0.0),
+        "unit": "examples/sec/chip",
+        "vs_baseline": lkg.get("vs_baseline", 0.0),
+        "stale": True,
+        "note": f"{reason}; last-known-good "
+                f"{lkg.get('measured', 'never')} "
+                f"({lkg.get('provenance', 'none')})",
+    }
+    for k in ("backward", "kernels"):
+        if k in lkg:
+            line[k] = lkg[k]
+    return line
+
+
+def _record_good(name: str, line: dict) -> None:
+    data = {}
+    if LAST_GOOD.exists():
+        try:
+            data = json.loads(LAST_GOOD.read_text())
+        except json.JSONDecodeError:
+            data = {}
+    entry = {k: v for k, v in line.items() if k != "metric"}
+    entry["measured"] = time.strftime("%Y-%m-%d")
+    entry["provenance"] = "bench.py on-hardware run"
+    data[name] = entry
+    LAST_GOOD.write_text(json.dumps(data, indent=1))
+
+
+def run_orchestrator(args) -> None:
+    models = [m for m in args.models.split(",") if m]
+    start = time.monotonic()
+    deadline = start + TOTAL_BUDGET
+
+    # Probe window: up to half the budget (a wedge clearing mid-window is
+    # common); leave the rest for the actual measurements.
+    probe_deadline = min(start + TOTAL_BUDGET / 2, deadline - 120)
+    healthy = _probe_until(probe_deadline)
+    if not healthy:
+        print(
+            "# tunnel wedged for the whole probe window; emitting "
+            "last-known-good (stale) lines",
+            file=sys.stderr,
+        )
+        for name in models:
+            _emit(_stale_line(name, "TPU tunnel wedged"))
+        return
+
+    for i, name in enumerate(models):
+        remaining = deadline - time.monotonic()
+        models_left = len(models) - i
+        # the flagship (last) gets whatever remains; earlier models
+        # share fairly so a slow one can't starve the flagship
+        per_model = min(WORKER_TIMEOUT_CAP, remaining / models_left)
+        if per_model < 180:
+            _emit(_stale_line(name, "bench budget exhausted"))
+            continue
+        cmd = [sys.executable, str(REPO / "bench.py"), "--worker", name,
+               "--moments-dtype", args.moments_dtype]
+        if args.no_fused_backward:
+            cmd.append("--no-fused-backward")
+        if args.inference:
+            cmd.append("--inference")
+        try:
+            r = subprocess.run(
+                cmd, timeout=per_model, capture_output=True, text=True
+            )
+            out_lines = [
+                ln for ln in r.stdout.splitlines() if ln.startswith("{")
+            ]
+            if r.returncode == 0 and out_lines:
+                for ln in out_lines:
+                    parsed = json.loads(ln)
+                    _emit(parsed)
+                    if parsed["metric"].endswith("train_step_throughput"):
+                        _record_good(name, parsed)
+                continue
+            reason = (
+                f"worker rc={r.returncode}: "
+                f"{(r.stderr or '').strip().splitlines()[-1:] or ['no output']}"
+            )
+        except subprocess.TimeoutExpired:
+            reason = f"worker timed out after {per_model:.0f}s (tunnel wedge?)"
+        print(f"# {name}: {reason}", file=sys.stderr)
+        _emit(_stale_line(name, reason))
+        # a mid-bench wedge poisons later models too — re-probe cheaply
+        # before spending their budget
+        if not _probe_once():
+            print(
+                "# tunnel unhealthy after failure; stale lines for the rest",
+                file=sys.stderr,
+            )
+            for rest in models[i + 1:]:
+                _emit(_stale_line(rest, "TPU tunnel wedged mid-bench"))
+            return
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -237,65 +471,29 @@ def main() -> None:
         action="store_true",
         help="also report forward-only (serving) throughput per model",
     )
+    parser.add_argument(
+        "--worker",
+        default=None,
+        metavar="MODEL",
+        help="internal: bench one model in-process (no probe/orchestration)",
+    )
+    parser.add_argument(
+        "--no-probe",
+        action="store_true",
+        help="skip tunnel probing/subprocess isolation (run all models "
+        "in-process; CI/CPU use)",
+    )
     args = parser.parse_args()
-    models = [m for m in args.models.split(",") if m]
 
-    values = {}
-    degraded = {}
-    for name in models:
-        try:
-            values[name] = bench_tpu(
-                name,
-                moments_dtype=args.moments_dtype,
-                fused_backward=not args.no_fused_backward,
-            )
-        except Exception as e:  # never lose the whole bench to one kernel
-            print(
-                f"# {name}: kernel path failed ({type(e).__name__}); "
-                "retrying with model-tower Pallas kernels off",
-                file=sys.stderr,
-            )
-            values[name] = bench_tpu(
-                name,
-                pallas_overrides={
-                    "use_attention_kernel": False,
-                    "use_cin_kernel": False,
-                },
-                moments_dtype=args.moments_dtype,
-                fused_backward=not args.no_fused_backward,
-            )
-            # mark the JSON line itself — a stderr note alone let a
-            # kernel crash ship as an unexplained "slowdown"
-            degraded[name] = f"{type(e).__name__}: model-tower kernels off"
-
-    baseline = None
-    if args.remeasure_baseline:
-        baseline = bench_torch_baseline()
-    if baseline is None and BASELINE_CACHE.exists():
-        baseline = json.loads(BASELINE_CACHE.read_text()).get("baseline")
-
-    if args.inference:
-        for name in models:
-            v = bench_inference(name)
-            print(json.dumps({
-                "metric": f"{name}_predict_throughput",
-                "value": round(v, 1),
-                "unit": "examples/sec/chip",
-                "vs_baseline": 1.0,
-            }))
-
-    for name in models:
-        value = values[name]
-        vs = value / baseline if baseline else 1.0
-        line = {
-            "metric": f"{name}_train_step_throughput",
-            "value": round(value, 1),
-            "unit": "examples/sec/chip",
-            "vs_baseline": round(vs, 2),
-        }
-        if name in degraded:
-            line["degraded"] = degraded[name]
-        print(json.dumps(line))
+    if args.worker:
+        run_worker(args)
+        return
+    if args.no_probe:
+        for name in [m for m in args.models.split(",") if m]:
+            args.worker = name
+            run_worker(args)
+        return
+    run_orchestrator(args)
 
 
 if __name__ == "__main__":
