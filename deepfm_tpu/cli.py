@@ -183,23 +183,25 @@ def train_command(config: ExperimentConfig) -> None:
 def _restore_trainer(
     config: ExperimentConfig,
     use_mesh: bool = True,
-    require: tuple[str, str] | None = None,
+    require: tuple[str, ...] | None = None,
 ):
     """Shared serving-command prologue: build the fitted data pipeline,
     the model (optionally mesh-sharded), a Trainer around it, and load
     the best checkpoint. Returns (adapter, packed, val_d, test_d,
-    model, trainer). ``require=(command, adapter_method)`` fails fast —
-    BEFORE the expensive model build + checkpoint restore — when the
-    dataset's adapter lacks a needed serving capability."""
+    model, trainer). ``require=(command, *adapter_methods)`` fails
+    fast — BEFORE the expensive model build + checkpoint restore — when
+    the dataset's adapter lacks a needed serving capability."""
     from deepfm_tpu.models import create_model
     from deepfm_tpu.training.trainer import Trainer
 
     adapter, schema, packed, train_d, val_d, test_d = _build_data(config)
-    if require is not None and not hasattr(adapter, require[1]):
-        raise SystemExit(
-            f"{require[0]}: dataset {config.data.dataset_name!r} has no "
-            f"{require[1]} path (movielens-format only)"
-        )
+    if require is not None:
+        missing = [m for m in require[1:] if not hasattr(adapter, m)]
+        if missing:
+            raise SystemExit(
+                f"{require[0]}: dataset {config.data.dataset_name!r} has no "
+                f"{'/'.join(missing)} path (movielens-format only)"
+            )
     mesh = build_runtime(config) if use_mesh else None
     model = create_model(config.model_name, packed, config, mesh=mesh)
     trainer = Trainer(
@@ -408,20 +410,40 @@ def recommend_command(
     )
 
 
-def serve_command(config: ExperimentConfig, host: str, port: int) -> None:
+def serve_command(
+    config: ExperimentConfig,
+    host: str,
+    port: int,
+    batch_window_ms: float = 0.0,
+    max_rows: int | None = None,
+) -> None:
     """Local JSON-over-HTTP scoring server over the best checkpoint:
     GET /health, POST /score, GET /recommend (see deepfm_tpu/serving.py).
-    Serving is out of the reference's scope (reference prd.md:23-27);
-    production deployments should front the exported StableHLO artifact
-    instead (docs/SERVING.md)."""
-    from deepfm_tpu.serving import ScoringService, make_http_server
+    Concurrent requests thread; device dispatches serialize, or coalesce
+    into one dispatch when --batch-window-ms is set. Serving is out of
+    the reference's scope (reference prd.md:23-27); production
+    deployments should front the exported StableHLO artifact instead
+    (docs/SERVING.md)."""
+    from deepfm_tpu.serving import (
+        DEFAULT_MAX_ROWS,
+        ScoringService,
+        make_http_server,
+    )
 
     logger = get_logger("deepfm_tpu")
     seed_everything(config.seed)
     adapter, packed, _, _, model, trainer = _restore_trainer(
-        config, require=("serve", "score_id_pairs")
+        config,
+        require=(
+            "serve", "score_id_pairs", "known_pair", "now_timestamp",
+            "recommend_candidates",
+        ),
     )
-    service = ScoringService(adapter, packed, trainer, config.model_name)
+    service = ScoringService(
+        adapter, packed, trainer, config.model_name,
+        max_rows=max_rows if max_rows is not None else DEFAULT_MAX_ROWS,
+        batch_window_ms=batch_window_ms,
+    )
     logger.info("Compiling the eval scan (warmup)...")
     service.warmup()
     server = make_http_server(service, host, port)
@@ -641,6 +663,15 @@ def main(argv: list[str] | None = None) -> None:
         if name == "serve":
             p.add_argument("--host", default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
+            p.add_argument(
+                "--batch-window-ms", type=float, default=0.0,
+                help="coalesce concurrent /score requests arriving "
+                "within this window into one device dispatch (0=off)",
+            )
+            p.add_argument(
+                "--max-rows", type=int, default=None,
+                help="max rows per /score request (default 16384)",
+            )
         if name == "predict":
             p.add_argument(
                 "--input", required=True,
@@ -723,7 +754,11 @@ def main(argv: list[str] | None = None) -> None:
     elif args.command == "recommend":
         recommend_command(config, args.user, args.k, args.include_seen)
     elif args.command == "serve":
-        serve_command(config, args.host, args.port)
+        serve_command(
+            config, args.host, args.port,
+            batch_window_ms=args.batch_window_ms,
+            max_rows=args.max_rows,
+        )
 
 
 if __name__ == "__main__":

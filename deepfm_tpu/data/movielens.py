@@ -201,10 +201,18 @@ class MovieLensAdapter:
             else np.asarray(ratings, np.int64).reshape(-1)
         )
         timestamps = (
-            np.full(n, int(self._inter["timestamp"].max()), np.int64)
+            np.full(n, self.now_timestamp(), np.int64)
             if timestamps is None
             else np.asarray(timestamps, np.int64).reshape(-1)
         )
+        if ratings.shape != users.shape:
+            raise ValueError(
+                f"ratings/users length mismatch: {len(ratings)} vs {n}"
+            )
+        if timestamps.shape != users.shape:
+            raise ValueError(
+                f"timestamps/users length mismatch: {len(timestamps)} vs {n}"
+            )
         known = np.asarray(
             [
                 int(u) in self._uid_pos and int(m) in self._mid_pos
@@ -221,6 +229,21 @@ class MovieLensAdapter:
         )
         ds = self._score_rows(uid, iid, ratings[kept], timestamps[kept])
         return ds, kept
+
+    def now_timestamp(self) -> int:
+        """"Now" for this dataset: the newest fitted interaction — the
+        default request time for serving rows without a timestamp."""
+        if self._schema is None:
+            raise RuntimeError("Call build() first")
+        return int(self._inter["timestamp"].max())
+
+    def known_pair(self) -> tuple[int, int]:
+        """One (raw user id, raw item id) this fit can score — serving
+        warmup uses it to compile the eval scan on a guaranteed-kept
+        row without reaching into the adapter's internals."""
+        if self._schema is None:
+            raise RuntimeError("Call build() first")
+        return next(iter(self._uid_pos)), next(iter(self._mid_pos))
 
     def recommend_candidates(
         self,

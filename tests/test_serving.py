@@ -212,6 +212,124 @@ class TestHTTPServer:
         assert status == 404
 
 
+class TestGuards:
+    def test_negative_timestamp_rejected(self, http_server, built_adapter):
+        known_u, known_m = built_adapter.known_pair()
+        status, body = _post(
+            f"{http_server}/score", {"rows": [[known_u, known_m, -1]]}
+        )
+        assert status == 400 and "timestamp" in body["error"]
+
+    def test_max_rows_rejected(self, built_adapter):
+        from deepfm_tpu.data.packing import pack_schema
+        from deepfm_tpu.serving import ScoringService, ServingError
+
+        packed = pack_schema(built_adapter._schema)
+        svc = ScoringService(
+            built_adapter, packed, _StubTrainer(), "deepfm", max_rows=4
+        )
+        with pytest.raises(ServingError, match="too many rows"):
+            svc.score({"rows": [[1, 1]] * 5})
+
+    def test_body_size_cap_413(self, built_adapter):
+        from deepfm_tpu.serving import make_http_server
+
+        service = _make_service(built_adapter)
+        server = make_http_server(
+            service, "127.0.0.1", 0, max_body_bytes=64
+        )
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            host, port = server.server_address
+            status, body = _post(
+                f"http://{host}:{port}/score",
+                {"rows": [[1, 2]] * 50},
+            )
+            assert status == 413 and "too large" in body["error"]
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_ratings_length_mismatch_raises(self, built_adapter):
+        with pytest.raises(ValueError, match="ratings/users"):
+            built_adapter.score_id_pairs(
+                [1, 2], [3, 4], np.asarray([1]), None
+            )
+        with pytest.raises(ValueError, match="timestamps/users"):
+            built_adapter.score_id_pairs(
+                [1, 2], [3, 4], None, np.asarray([5, 6, 7])
+            )
+
+    def test_public_accessors(self, built_adapter):
+        u, m = built_adapter.known_pair()
+        ds, kept = built_adapter.score_id_pairs([u], [m])
+        assert list(kept) == [0]
+        assert built_adapter.now_timestamp() == int(
+            built_adapter._inter["timestamp"].max()
+        )
+
+
+class _CountingTrainer(_StubTrainer):
+    def __init__(self):
+        self.calls = 0
+
+    def predict(self, packed_arrays):
+        self.calls += 1
+        return super().predict(packed_arrays)
+
+
+class TestMicroBatcher:
+    def test_concurrent_scores_coalesce(self, built_adapter):
+        """Two /score requests inside one window share ONE device
+        dispatch, and each gets exactly its own rows' scores."""
+        from deepfm_tpu.data.packing import pack_schema
+        from deepfm_tpu.serving import ScoringService
+
+        packed = pack_schema(built_adapter._schema)
+        trainer = _CountingTrainer()
+        svc = ScoringService(
+            built_adapter, packed, trainer, "deepfm",
+            batch_window_ms=300.0,
+        )
+        u, m = built_adapter.known_pair()
+        solo = ScoringService(
+            built_adapter, packed, _CountingTrainer(), "deepfm"
+        )
+        want1 = solo.score({"rows": [[u, m]]})["scores"]
+        want2 = solo.score({"rows": [[u, m], [10**9, m]]})["scores"]
+
+        results = {}
+
+        def call(key, rows):
+            results[key] = svc.score({"rows": rows})
+
+        t1 = threading.Thread(target=call, args=("a", [[u, m]]))
+        t2 = threading.Thread(
+            target=call, args=("b", [[u, m], [10**9, m]])
+        )
+        t1.start()
+        t2.start()
+        t1.join(timeout=60)
+        t2.join(timeout=60)
+        assert trainer.calls == 1  # coalesced into one dispatch
+        assert results["a"]["scores"] == want1
+        assert results["b"]["scores"] == want2
+
+    def test_single_request_still_works(self, built_adapter):
+        from deepfm_tpu.data.packing import pack_schema
+        from deepfm_tpu.serving import ScoringService
+
+        packed = pack_schema(built_adapter._schema)
+        svc = ScoringService(
+            built_adapter, packed, _CountingTrainer(), "deepfm",
+            batch_window_ms=50.0,
+        )
+        u, m = built_adapter.known_pair()
+        out = svc.score({"rows": [[u, m]]})
+        assert out["n_scored"] == 1
+
+
 @pytest.mark.slow
 def test_serve_cli_end_to_end(synth_dir, tmp_path):
     """Full loop: train 1 epoch via the CLI, restore through the serve
