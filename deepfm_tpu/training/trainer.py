@@ -380,9 +380,16 @@ class Trainer:
                 # committed local array can't be device_put across
                 # processes, so round-trip through the host (init is
                 # deterministic per seed, identical on every process)
+                # global_shape=x.shape is REQUIRED here: every process
+                # holds the identical FULL array, and without it the
+                # helper infers global = local x (processes spanned by
+                # the sharded axis) — a model axis crossing process
+                # boundaries would silently double the table rows
                 state = jax.tree_util.tree_map(
                     lambda x, s: jax.make_array_from_process_local_data(
-                        s, np.asarray(jax.device_get(x))
+                        s,
+                        np.asarray(jax.device_get(x)),
+                        global_shape=np.shape(x),
                     ),
                     state,
                     shardings,
@@ -425,9 +432,12 @@ class Trainer:
         if jax.process_count() > 1:
             # every host builds the same dataset deterministically (same
             # seed), so each process holds the FULL batch and extracts
-            # its addressable shards
+            # its addressable shards (global_shape pins that reading —
+            # see the _init_state note)
             return tuple(
-                jax.make_array_from_process_local_data(s, np.asarray(a))
+                jax.make_array_from_process_local_data(
+                    s, np.asarray(a), global_shape=np.shape(a)
+                )
                 for a, s in zip(arrays, shardings)
             )
         return tuple(

@@ -30,6 +30,51 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _spawn_workers(
+    nproc: int, out: Path, mode: str | None, dev_per_proc: int = 2,
+    timeout: int = 600,
+) -> None:
+    """Run N worker processes against one coordinator; assert all OK."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = []
+    for pid in range(nproc):
+        env = {
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAX_PLATFORMS": "cpu",
+            # workers share the persistent compile cache
+            "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_deepfm",
+        }
+        cmd = [
+            sys.executable,
+            str(TESTS_DIR / "two_process_worker.py"),
+            str(pid), str(nproc), coordinator, str(out),
+        ]
+        if mode is not None:
+            cmd += [mode, str(dev_per_proc)]
+        procs.append(
+            subprocess.Popen(
+                cmd,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                env=env,
+                cwd=str(TESTS_DIR),
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log}"
+        assert f"worker {pid} OK" in log, log
+
+
 def _single_process_reference():
     import jax
 
@@ -69,44 +114,8 @@ def _single_process_reference():
 
 
 def test_two_process_train_step_matches_single_process(tmp_path):
-    port = _free_port()
-    coordinator = f"127.0.0.1:{port}"
     out = tmp_path / "proc0.npz"
-
-    procs = []
-    for pid in range(2):
-        env = {
-            "PATH": "/usr/bin:/bin",
-            "HOME": "/root",
-            "JAX_PLATFORMS": "cpu",
-            # workers share the persistent compile cache
-            "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_deepfm",
-        }
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    str(TESTS_DIR / "two_process_worker.py"),
-                    str(pid), "2", coordinator, str(out),
-                ],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                env=env,
-                cwd=str(TESTS_DIR),
-            )
-        )
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(stdout.decode(errors="replace"))
-    for pid, (p, log) in enumerate(zip(procs, logs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{log}"
-        assert f"worker {pid} OK" in log, log
+    _spawn_workers(2, out, mode=None)
 
     got = np.load(out)
     ref_loss, ref_params = _single_process_reference()
@@ -177,43 +186,8 @@ def test_two_process_routed_fused_matches_single_process(
     (2, 2) mesh over two gloo-connected processes, model axis spanning
     them. Loss, dense params, and the psq full-table checksums must
     match the identical single-process mesh step."""
-    port = _free_port()
-    coordinator = f"127.0.0.1:{port}"
     out = tmp_path / "proc0_routed.npz"
-
-    procs = []
-    for pid in range(2):
-        env = {
-            "PATH": "/usr/bin:/bin",
-            "HOME": "/root",
-            "JAX_PLATFORMS": "cpu",
-            "JAX_COMPILATION_CACHE_DIR": "/root/.cache/jax_deepfm",
-        }
-        procs.append(
-            subprocess.Popen(
-                [
-                    sys.executable,
-                    str(TESTS_DIR / "two_process_worker.py"),
-                    str(pid), "2", coordinator, str(out), "routed",
-                ],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                env=env,
-                cwd=str(TESTS_DIR),
-            )
-        )
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        logs.append(stdout.decode(errors="replace"))
-    for pid, (p, log) in enumerate(zip(procs, logs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{log}"
-        assert f"worker {pid} OK" in log, log
+    _spawn_workers(2, out, mode="routed")
 
     got = np.load(out)
     ref_loss, ref_dense, ref_psq = _routed_single_process_reference(
@@ -233,4 +207,28 @@ def test_two_process_routed_fused_matches_single_process(
     assert (diff <= 2e-5).mean() > 0.95, (diff > 2e-5).sum()
     # psq = sumsq of each UPDATED table — a full-table checksum of the
     # routed fused update across the process boundary
+    np.testing.assert_allclose(got["psq"], ref_psq, rtol=1e-5)
+
+
+def test_four_process_routed_fused_matches_single_process(
+    tmp_path, monkeypatch
+):
+    """(2, 2) mesh over FOUR gloo-connected processes at one device
+    each: both the data axis (pair all-gather, dense-grad psum) and the
+    model axis (owner routing, slab psum) cross real process
+    boundaries — the 2-process layout keeps data intra-process. Same
+    loss/dense-params/psq checksum contract vs the single-process mesh."""
+    out = tmp_path / "proc0_routed4.npz"
+    _spawn_workers(4, out, mode="routed", dev_per_proc=1, timeout=900)
+
+    got = np.load(out)
+    ref_loss, ref_dense, ref_psq = _routed_single_process_reference(
+        monkeypatch
+    )
+    assert got["loss"] == pytest.approx(ref_loss, rel=1e-5)
+    diff = np.abs(got["params"] - ref_dense)
+    np.testing.assert_allclose(
+        got["params"], ref_dense, rtol=1e-4, atol=3e-3
+    )
+    assert (diff <= 2e-5).mean() > 0.95, (diff > 2e-5).sum()
     np.testing.assert_allclose(got["psq"], ref_psq, rtol=1e-5)

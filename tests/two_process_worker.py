@@ -14,7 +14,12 @@ Modes (5th arg, default "dp"):
            dump carries the replicated dense params + the psq scalars
            (sumsq of each updated table — a full-table checksum).
 
-Usage: python two_process_worker.py <pid> <nproc> <coordinator> <out.npz> [mode]
+With 4 processes at 1 device each (dev_per_proc=1), the same (2, 2)
+routed mesh puts EVERY axis — data and model — across real process
+boundaries (the 2-process layout keeps the data axis intra-process).
+
+Usage: python two_process_worker.py <pid> <nproc> <coordinator> <out.npz>
+       [mode] [dev_per_proc]
 """
 
 from __future__ import annotations
@@ -25,8 +30,11 @@ import sys
 pid, nproc = int(sys.argv[1]), int(sys.argv[2])
 coordinator, out_path = sys.argv[3], sys.argv[4]
 mode = sys.argv[5] if len(sys.argv) > 5 else "dp"
+dev_per_proc = int(sys.argv[6]) if len(sys.argv) > 6 else 2
 
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={dev_per_proc}"
+)
 if mode == "routed":
     os.environ["DEEPFM_TPU_FORCE_FUSED_ADAM"] = "1"
 
@@ -38,7 +46,7 @@ jax.distributed.initialize(
     coordinator_address=coordinator, num_processes=nproc, process_id=pid
 )
 assert jax.process_count() == nproc, jax.process_count()
-assert len(jax.devices()) == 2 * nproc, jax.devices()
+assert len(jax.devices()) == dev_per_proc * nproc, jax.devices()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(
