@@ -309,9 +309,13 @@ def run_worker(args) -> None:
 # ----------------------------------------------------------------------
 
 def _probe_once() -> bool:
+    # --fresh compiles a unique shape: the tunnel has a degraded mode
+    # where cached tiny ops succeed while fresh compiles hang — the
+    # state that matters to a worker about to compile a train step
     try:
         r = subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "tpu_probe.py")],
+            [sys.executable, str(REPO / "scripts" / "tpu_probe.py"),
+             "--fresh"],
             timeout=PROBE_TIMEOUT,
             capture_output=True,
         )

@@ -367,6 +367,59 @@ def test_trainer_gate_engages_fused_path_on_hardware(tpu, tmp_path):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.parametrize(
+    "model_name", ["deepfm", "xdeepfm", "attention_deepfm"]
+)
+def test_engagement_labels_match_lowered_hlo(tpu, tmp_path, model_name):
+    """Ground-truth check of the telemetry: every Mosaic-lowering label
+    trainer_engagement reports must appear as a tpu_custom_call kernel
+    in the LOWERED train step (training/telemetry.py). A silent gating
+    regression (round-3 49ec8b3 class) now fails here instead of
+    shipping as an unexplained slowdown."""
+    import jax.numpy as jnp
+    from cpu_conftest_helpers import make_synth_batch, make_synth_schema
+
+    from deepfm_tpu.config import config_from_dict
+    from deepfm_tpu.data.packing import pack_features, pack_schema
+    from deepfm_tpu.models import create_model
+    from deepfm_tpu.training.telemetry import (
+        expected_mosaic_kernels,
+        lowered_kernel_names,
+        trainer_engagement,
+    )
+    from deepfm_tpu.training.trainer import Trainer
+
+    schema = make_synth_schema()
+    packed = pack_schema(schema)
+    feats, labels = make_synth_batch(schema, 64, seed=3)
+    arr = pack_features(packed, feats, labels)
+    cfg = config_from_dict(
+        {
+            "model_name": model_name,
+            "output_dir": str(tmp_path),
+            "dnn": {"hidden_units": [16, 8], "dropout": 0.0},
+            "attention": {"attention_dim": 16, "num_heads": 2},
+            "training": {"batch_size": 64, "num_epochs": 1,
+                         "scheduler": "none"},
+        }
+    )
+    model = create_model(model_name, packed, cfg)
+    tr = Trainer(model, packed, cfg, arr, arr, arr)
+    eng = trainer_engagement(tr)
+    assert eng["backward"] == "sparse_fused"
+
+    ids = jnp.asarray(arr.ids)
+    dense = jnp.asarray(arr.dense)
+    lab = jnp.asarray(arr.labels)
+    w = jnp.ones((64,), jnp.float32)
+    txt = tr._train_step.lower(tr.state, ids, dense, lab, w).as_text()
+    found = lowered_kernel_names(txt)
+    for alternatives in expected_mosaic_kernels(eng):
+        assert any(
+            any(name in f for f in found) for name in alternatives
+        ), f"{alternatives} not in lowered kernels {sorted(found)}"
+
+
 def test_stablehlo_export_runs_on_tpu(tpu, tmp_path):
     """The serving artifact lowers for and executes on the TPU backend,
     matching the in-process predict scores."""
