@@ -186,6 +186,15 @@ class PallasConfig:
     # faster at 10.4M x 17, exact to f32 working precision). TPU only;
     # tables >= 2^24 rows fall back to the XLA scatter automatically.
     use_grad_kernel: bool = True
+    # CIN stack kernels: feed the MXU bf16 operands (f32 accumulation
+    # and f32 VPU adjoints unchanged) when the incoming activations are
+    # already bfloat16 (training.compute_dtype=bfloat16). Halves operand
+    # VMEM/HBM traffic and guarantees single-pass MXU matmuls; requires
+    # every non-first layer's hidden height to be 16-row aligned (bf16
+    # sublane tile), else the kernel falls back to the f32 path. Off by
+    # default until the hardware A/B proves it (VERDICT r3 #5 protocol:
+    # gate kernels on measured outcomes).
+    cin_bf16_operands: bool = False
     # Embedding-table storage layout:
     #   "auto"    — packed on TPU, logical elsewhere (the perf default)
     #   "packed"  — 128 // (d+1) logical rows per 128-lane physical row

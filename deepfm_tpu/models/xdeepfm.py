@@ -27,6 +27,7 @@ class xDeepFM(CTRModel):
             split_half=cfg.cin.split_half,
             compute_dtype=cdt,
             use_pallas_stack=cfg.pallas.use_cin_kernel,
+            bf16_operands=cfg.pallas.cin_bf16_operands,
             name="cin",
         )
         self.dnn = DNN(

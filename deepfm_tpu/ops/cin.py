@@ -67,6 +67,9 @@ class CIN(nn.Module):
     # Pallas kernel (ops/pallas/cin_stack_kernel.py) — intermediates never
     # touch HBM.
     use_pallas_stack: bool = False
+    # Stack kernels: bf16 MXU operands (f32 accumulation) when the
+    # activations are bfloat16 — pallas.cin_bf16_operands.
+    bf16_operands: bool = False
 
     @property
     def output_dim(self) -> int:
@@ -111,7 +114,10 @@ class CIN(nn.Module):
                     if (self.split_half and i < len(self.layer_sizes) - 1)
                     else layer_size
                 )
-            fn = make_cin_stack_pallas(self.layer_sizes, self.split_half)
+            fn = make_cin_stack_pallas(
+                self.layer_sizes, self.split_half,
+                bf16_operands=self.bf16_operands,
+            )
             return fn(x0, weights, biases).astype(self.compute_dtype)
 
         outputs: list[jax.Array] = []

@@ -46,6 +46,19 @@ forward (268 MB at Criteo scale) and reading them back in the backward
 instead of recomputing was A/B'd on hardware and LOST — 303k vs 353k
 ex/s xDeepFM step. In-VMEM recompute is cheaper than the HBM round
 trip; the remat design stays.
+
+bf16 operands (round-4 addition, ``pallas.cin_bf16_operands``): when the
+incoming activations are already bfloat16 (training.compute_dtype), the
+MXU matmuls take bf16 operands (weights shipped bf16, the outer chunks
+built from bf16 mirrors, dcomp cast once per layer) with f32
+accumulation; every f32 structure — comp/dcomp/adjoint reductions,
+dW/db accumulators — is unchanged. Halves operand VMEM + HBM traffic
+and pins single-pass MXU issue. bf16's (16, 128) sublane tile sets the
+alignment story: x0 is HOST-padded to FP = pad16(F) rows (every layer's
+chunk width cf divides 16, so FP is simultaneously every layer's field
+grid — the in-kernel x0 staging scratch disappears), and the path
+requires each non-first hidden height to be 16-aligned (true for all
+shipped geometries; others fall back to f32).
 """
 
 from __future__ import annotations
@@ -84,30 +97,40 @@ def _hidden_sizes(f, layer_sizes, split_half, next_sizes):
     return hs
 
 
-def _layer_geom(f: int, h: int) -> tuple[int, int, int, int]:
-    """(h_pad, cf, f_pad, n_ch) for one layer's f-major chunk grid."""
-    hp = _pad_to(h, 8)  # sublane-aligned per-field block height
+def _layer_geom(
+    f: int, h: int, sub: int = 8
+) -> tuple[int, int, int, int]:
+    """(h_pad, cf, f_pad, n_ch) for one layer's f-major chunk grid.
+
+    ``sub`` is the sublane tile of the OUTER chunk's dtype (8 for f32,
+    16 for bf16): hp must be tile-aligned for the in-kernel
+    (cf·hp, ·) <-> (cf, hp, ·) regroupings to be exact.
+    """
+    hp = _pad_to(h, sub)  # sublane-aligned per-field block height
     cf = max(1, TARGET_K // hp)
     f_pad = _pad_to(f, cf)
     return hp, cf, f_pad, f_pad // cf
 
 
-def _chunked_weights(weights, hidden_sizes, f):
+def _chunked_weights(weights, hidden_sizes, f, sub=8, dtype=jnp.float32):
     """(M, H·F) h-major weight -> (n_chunks, M, CF·H_pad) f-major chunks.
 
     Input column index = h·F + f_idx (reference Conv1d layout,
     deepfm/models/layers/cin.py:84-91); chunk c's column fl·H_pad + h
     maps to field c·CF + fl. Padded h rows / f fields get zero columns
-    (they multiply zero hidden/x0 rows, contributing nothing).
+    (they multiply zero hidden/x0 rows, contributing nothing). ``f`` is
+    the (possibly host-padded) field-grid height the kernel will run.
     """
     out = []
     for w, h in zip(weights, hidden_sizes):
         m = w.shape[0]
-        hp, cf, f_pad, n_ch = _layer_geom(f, h)
-        wf = w.reshape(m, h, f).transpose(0, 2, 1)  # (M, F, h)
-        wf = jnp.pad(wf, ((0, 0), (0, f_pad - f), (0, hp - h)))
+        hp, cf, f_pad, n_ch = _layer_geom(f, h, sub)
+        wf = w.reshape(m, h, -1)  # (M, h, F_real)
+        f_real = wf.shape[2]
+        wf = wf.transpose(0, 2, 1)  # (M, F_real, h)
+        wf = jnp.pad(wf, ((0, 0), (0, f_pad - f_real), (0, hp - h)))
         out.append(
-            wf.reshape(m, n_ch, cf * hp).transpose(1, 0, 2)
+            wf.reshape(m, n_ch, cf * hp).transpose(1, 0, 2).astype(dtype)
         )
     return out
 
@@ -116,10 +139,10 @@ def _write_hidden(hid_scratch, hidden, hp):
     """Stage a layer's (h, d, tb) input hidden into the shared scratch,
     zero-padded to hp rows (per-field block height)."""
     h = hidden.shape[0]
-    hid_scratch[0:h] = hidden
+    hid_scratch[0:h] = hidden.astype(hid_scratch.dtype)
     if hp > h:
         hid_scratch[h:hp] = jnp.zeros(
-            (hp - h,) + hidden.shape[1:], hidden.dtype
+            (hp - h,) + hidden.shape[1:], hid_scratch.dtype
         )
 
 
@@ -153,34 +176,43 @@ def _compress(w_ref_i, hid_scratch, x0s, geom, m, d, tb):
 
 
 def _stack_kernel(x0_ref, *refs, layer_sizes, split_half, direct_sizes,
-                  next_sizes, f, d):
+                  next_sizes, f, d, bf16=False):
     n = len(layer_sizes)
     w_refs = refs[:n]
     b_refs = refs[n : 2 * n]
     out_ref = refs[2 * n]
-    hid_scratch = refs[2 * n + 1]  # (H_max, d, tb) VMEM
-    x0_scratch = refs[2 * n + 2]  # (F_pad_max, d, tb) VMEM
+    hid_scratch = refs[2 * n + 1]  # (H_max, d, tb) VMEM (f32 | bf16)
+    # bf16 path: x0_ref IS the full field grid (host-padded to FP, with
+    # every layer's f_pad == FP) — no staging scratch exists
+    x0s = x0_ref if bf16 else refs[2 * n + 2]
     tb = x0_ref.shape[2]
     hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
+    sub = 16 if bf16 else 8
 
-    # x0 staged once, zero-padded to the widest layer's field grid
-    f_pad_max = x0_scratch.shape[0]
-    x0_scratch[0:f] = x0_ref[:]
-    if f_pad_max > f:
-        x0_scratch[f:f_pad_max] = jnp.zeros(
-            (f_pad_max - f, d, tb), jnp.float32
-        )
+    if not bf16:
+        # x0 staged once, zero-padded to the widest layer's field grid
+        f_pad_max = x0s.shape[0]
+        x0s[0:f] = x0_ref[:]
+        if f_pad_max > f:
+            x0s[f:f_pad_max] = jnp.zeros(
+                (f_pad_max - f, d, tb), jnp.float32
+            )
 
     # Pool each layer's direct maps IMMEDIATELY so only the running
     # hidden state stays live.
-    hidden = x0_ref[:]
+    hidden = None  # layer 0 reads x0 directly
     col = 0
     for i, ls in enumerate(layer_sizes):
-        geom = _layer_geom(f, hs[i])
-        _write_hidden(hid_scratch, hidden, geom[0])
-        pre = _compress(
-            w_refs[i], hid_scratch, x0_scratch, geom, ls, d, tb
-        )
+        geom = _layer_geom(f, hs[i], sub)
+        if i == 0 and bf16:
+            # hid_0 = x0 and hp_0 == FP == x0_ref rows: read in place
+            hid_src = x0_ref
+        else:
+            if i == 0:
+                hidden = x0_ref[:]
+            _write_hidden(hid_scratch, hidden, geom[0])
+            hid_src = hid_scratch
+        pre = _compress(w_refs[i], hid_src, x0s, geom, ls, d, tb)
         comp = jnp.maximum(pre + b_refs[i][:], 0.0)  # (M, D·TB)
         if split_half and i < n - 1:
             direct = comp[: direct_sizes[i]]
@@ -194,20 +226,24 @@ def _stack_kernel(x0_ref, *refs, layer_sizes, split_half, direct_sizes,
 
 
 def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
-                      direct_sizes, next_sizes, f, d):
+                      direct_sizes, next_sizes, f, d, bf16=False):
     n = len(layer_sizes)
     w_refs = refs[:n]
     b_refs = refs[n : 2 * n]
     dx0_ref = refs[2 * n]
     dw_refs = refs[2 * n + 1 : 3 * n + 1]
     db_refs = refs[3 * n + 1 : 4 * n + 1]
-    hid_scratch = refs[4 * n + 1]   # (H_max, d, tb)
-    comps_scratch = refs[4 * n + 2]  # (Σ layer_sizes, d, tb)
-    x0_scratch = refs[4 * n + 3]  # (F_pad_max, d, tb)
-    dx0_scratch = refs[4 * n + 4]  # (F_pad_max, d, tb)
+    hid_scratch = refs[4 * n + 1]   # (H_max, d, tb) f32
+    comps_scratch = refs[4 * n + 2]  # (Σ layer_sizes, d, tb) f32
+    x0_scratch = refs[4 * n + 3]  # (F_pad_max, d, tb) f32
+    dx0_scratch = refs[4 * n + 4]  # (F_pad_max, d, tb) f32
+    if bf16:
+        hid_bf = refs[4 * n + 5]   # (H_max, d, tb) bf16 mirror
+        dcomp_bf = refs[4 * n + 6]  # (max_ls, d, tb) bf16
     tb = x0_ref.shape[2]
     d_tb = d * tb
     hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
+    sub = 16 if bf16 else 8
 
     first = pl.program_id(0) == 0
     for i in range(n):
@@ -217,12 +253,16 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             dw_refs[i][:] = jnp.zeros_like(dw_refs[i])
 
     f_pad_max = x0_scratch.shape[0]
-    x0_scratch[0:f] = x0_ref[:]
+    # bf16: x0_ref is the full host-padded FP grid (f == FP ==
+    # f_pad_max); the f32 staging is a cast. f32: pad to the widest grid.
+    x0_scratch[0:f] = x0_ref[:].astype(jnp.float32)
     if f_pad_max > f:
         x0_scratch[f:f_pad_max] = jnp.zeros(
             (f_pad_max - f, d, tb), jnp.float32
         )
     dx0_scratch[:] = jnp.zeros((f_pad_max, d, tb), jnp.float32)
+    # bf16 operand source for the outer chunks (dots): the raw bf16 ref
+    x0s_mm = x0_ref if bf16 else x0_scratch
 
     comp_offs = []
     col = 0
@@ -231,13 +271,18 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
         col += ls
 
     # ---- recompute forward (remat) into comps_scratch ----------------
-    hidden = x0_ref[:]
+    hidden = None
     for i, ls in enumerate(layer_sizes):
-        geom = _layer_geom(f, hs[i])
-        _write_hidden(hid_scratch, hidden, geom[0])
-        pre = _compress(
-            w_refs[i], hid_scratch, x0_scratch, geom, ls, d, tb
-        )
+        geom = _layer_geom(f, hs[i], sub)
+        if i == 0 and bf16:
+            hid_src = x0_ref
+        else:
+            if i == 0:
+                hidden = x0_ref[:]
+            mirror = hid_bf if bf16 else hid_scratch
+            _write_hidden(mirror, hidden, geom[0])
+            hid_src = mirror
+        pre = _compress(w_refs[i], hid_src, x0s_mm, geom, ls, d, tb)
         comp = jnp.maximum(pre + b_refs[i][:], 0.0)  # (M, D·TB)
         comps_scratch[comp_offs[i] : comp_offs[i] + ls] = comp.reshape(
             ls, d, tb
@@ -276,9 +321,17 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
 
         db_refs[i][:] += jnp.sum(dcomp, axis=1, keepdims=True)
 
+        if bf16:
+            # matmul operand mirror, cast once per layer (ls 16-aligned;
+            # the scratch is 2-D (max_ls, D·TB) so no regrouping occurs)
+            dcomp_bf[0:ls] = dcomp.astype(jnp.bfloat16)
+            dcomp_mm = dcomp_bf[0:ls]
+        else:
+            dcomp_mm = dcomp
+
         # stage this layer's input hidden into the per-field scratch
         if i == 0:
-            hid_in = x0_ref[:]
+            hid_in = None  # read from x0 sources directly
             h_in = f
         elif split_half and i - 1 < n - 1:
             h_in = next_sizes[i - 1]
@@ -291,16 +344,38 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             hid_in = comps_scratch[
                 comp_offs[i - 1] : comp_offs[i - 1] + h_in
             ]
-        hp, cf, _, n_ch = _layer_geom(f, h_in)
-        _write_hidden(hid_scratch, hid_in, hp)
+        hp, cf, _, n_ch = _layer_geom(f, h_in, sub)
+        if i == 0 and bf16:
+            # hid_0 = x0 and hp == FP: the host-padded ref (dots) and
+            # its f32 staging already hold the full grid — no copy
+            hid_f32_src = x0_scratch
+            hid_mm_src = x0s_mm
+        elif i == 0:
+            # f32: hp = pad8(f) can exceed the chunk grid's f_pad (odd
+            # f), so x0 must be staged into the hp-row hidden scratch
+            _write_hidden(hid_scratch, x0_ref[:], hp)
+            hid_f32_src = hid_scratch
+            hid_mm_src = hid_scratch
+        else:
+            _write_hidden(hid_scratch, hid_in, hp)
+            hid_f32_src = hid_scratch
+            if bf16:
+                hid_bf[0:hp] = hid_scratch[0:hp].astype(jnp.bfloat16)
+                hid_mm_src = hid_bf
+            else:
+                hid_mm_src = hid_scratch
 
-        def body(c, dhid_acc, i=i, dcomp=dcomp, hp=hp, cf=cf):
+        def body(c, dhid_acc, i=i, dcomp=dcomp, dcomp_mm=dcomp_mm,
+                 hp=hp, cf=cf, hid_f32_src=hid_f32_src,
+                 hid_mm_src=hid_mm_src):
             x0_blk = x0_scratch[pl.ds(c * cf, cf)].reshape(cf, 1, d_tb)
-            hid_b = hid_scratch[0:hp].reshape(1, hp, d_tb)
-            outer = (x0_blk * hid_b).reshape(cf * hp, d_tb)
+            hid_b = hid_f32_src[0:hp].reshape(1, hp, d_tb)
+            x0_mm = x0s_mm[pl.ds(c * cf, cf)].reshape(cf, 1, d_tb)
+            hid_mm = hid_mm_src[0:hp].reshape(1, hp, d_tb)
+            outer = (x0_mm * hid_mm).reshape(cf * hp, d_tb)
             # dW_c (M, CF·H_pad): contract the D·TB lanes
             dw_refs[i][c] += jax.lax.dot_general(
-                dcomp,
+                dcomp_mm,
                 outer,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -308,7 +383,7 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             # A_c (CF·H_pad, D·TB): contract M
             a_c = jax.lax.dot_general(
                 w_refs[i][c],
-                dcomp,
+                dcomp_mm,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -316,7 +391,8 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
             # (round 2's h-major layout forced 0/1-selector MXU matmuls
             # with 8- and F-row outputs padded to 128 — they cost as
             # much as the real adjoint matmuls). Splitting cf·hp -> (cf,
-            # hp) is tile-safe: hp is a multiple of 8 by construction.
+            # hp) is tile-safe: hp is a multiple of the sublane tile by
+            # construction (8 f32 / 16 bf16).
             a3 = a_c.reshape(cf, hp, d_tb)
             dhid_acc = dhid_acc + jnp.sum(a3 * x0_blk, axis=0)
             rows = jnp.sum(a3 * hid_b, axis=1)  # (cf, d_tb)
@@ -338,7 +414,7 @@ def _stack_bwd_kernel(x0_ref, g_ref, *refs, layer_sizes, split_half,
 
 
 def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
-               direct_sizes, bwd):
+               direct_sizes, bwd, bf16=False):
     """Largest batch tile (lane dim, multiple of 128) fitting VMEM.
 
     The accounting errs generous per buffer (Mosaic's stack allocator
@@ -346,18 +422,25 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
     first cut that assumed tight reuse OOM'd scoped vmem at Criteo
     shapes): chunk scratch is counted twice (product + its operand
     temp), io blocks double-buffered, accumulators separate.
+    ``f`` is the kernel field grid (host-padded FP for bf16). Elements
+    are counted in f32 units; bf16 buffers count half.
     """
+    sub = 16 if bf16 else 8
     hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
     output_dim = sum(direct_sizes)
-    geoms = [_layer_geom(f, h) for h in hs]
+    geoms = [_layer_geom(f, h, sub) for h in hs]
     w_elems = sum(
         ls * g[3] * g[1] * g[0]
         for ls, g in zip(layer_sizes, geoms)
     ) + sum(layer_sizes)
+    if bf16:
+        w_elems = w_elems // 2 + sum(layer_sizes)  # bf16 weight chunks
     max_ls = max(layer_sizes)
     max_h = max(g[0] for g in geoms)
     max_k = max(g[1] * g[0] for g in geoms)
     max_fp = max(g[2] for g in geoms)
+    # bf16 in blocks / outer chunks / operand mirrors are half-size
+    half = 0.5 if bf16 else 1.0
     for tb in (512, 384, 256, 128):
         if b % tb != 0:
             continue
@@ -369,12 +452,12 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
         # silently pushed the Criteo backward onto the materializing
         # XLA fallback — the round-3 xdeepfm regression).
         per_ex = (
-            2 * f * d           # x0 in block (double-buffered)
+            2 * f * d * half    # x0 in block (double-buffered)
             + 2 * output_dim    # out / g block (double-buffered)
-            + 2 * max_k * d     # outer chunk + broadcast temp
+            + 2 * max_k * d * half  # outer chunk + broadcast temp
             + max_ls * d        # live comp
-            + max_h * d         # padded hidden copy
-            + max_fp * d        # x0 scratch (padded field grid)
+            + max_h * d * half  # padded hidden copy (mirror dtype)
+            + (0 if bf16 else max_fp * d)  # x0 scratch (f32 fwd only)
         )
         if bwd:
             per_ex += (
@@ -385,6 +468,12 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
                 + 2 * f * d           # dx0 out block (double-buffered)
                 + output_dim          # g accounted once more
             )
+            if bf16:
+                per_ex += (
+                    max_fp * d        # f32 x0 staging (common term was
+                    + max_h * d       # halved/zeroed for bf16) + f32
+                    + max_ls * d * 0.5  # hidden staging + dcomp mirror
+                )
         elems = per_ex * tb + 2 * w_elems + (w_elems if bwd else 0)
         budget = BWD_VMEM_BUDGET if bwd else FWD_VMEM_BUDGET
         if 4 * elems <= budget:
@@ -392,8 +481,12 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
     return None
 
 
-def make_cin_stack_pallas(layer_sizes, split_half):
-    """Returns fn(x0 (B,F,D), weights, biases) -> (B, output_dim)."""
+def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
+    """Returns fn(x0 (B,F,D), weights, biases) -> (B, output_dim).
+
+    ``bf16_operands``: feed the MXU bf16 operands when x0 is already
+    bfloat16 (see module docstring); shapes that miss the bf16 tile
+    alignment silently keep the f32 path."""
     layer_sizes = tuple(layer_sizes)
     direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
     output_dim = sum(direct_sizes)
@@ -403,6 +496,15 @@ def make_cin_stack_pallas(layer_sizes, split_half):
     aligned = all(ds % 8 == 0 for ds in direct_sizes) and all(
         (next_sizes[i] if split_half else layer_sizes[i]) % 8 == 0
         for i in range(len(layer_sizes) - 1)
+    )
+    # bf16 operand path: every non-first hidden height AND every layer
+    # size must sit on the bf16 (16, 128) sublane tile (mirror writes /
+    # outer regroupings); layer 0 is handled by host-padding x0
+    bf16_aligned = aligned and all(ls % 16 == 0 for ls in layer_sizes) and (
+        all(
+            (next_sizes[i] if split_half else layer_sizes[i]) % 16 == 0
+            for i in range(len(layer_sizes) - 1)
+        )
     )
 
     def oracle(x0, weights, biases):
@@ -421,14 +523,23 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             outs.append(jnp.sum(direct, axis=2))
         return jnp.concatenate(outs, axis=1)
 
-    def _tile_for(bsz, f, d, bwd):
+    def _use_bf16(x0) -> bool:
+        return (
+            bf16_operands
+            and bf16_aligned
+            and x0.dtype == jnp.bfloat16
+            and x0.shape[2] % 16 == 0  # comp (ls, D·TB)->(ls, d, tb)
+        )
+
+    def _tile_for(bsz, f, d, bwd, bf16=False):
         if jax.default_backend() == "cpu":
             return bsz  # interpreter mode: no tiling constraints
         if not aligned:
             return None
+        f_k = _pad_to(f, 16) if bf16 else f
         return _pick_tile(
-            bsz, f, d, layer_sizes, split_half, next_sizes, direct_sizes,
-            bwd,
+            bsz, f_k, d, layer_sizes, split_half, next_sizes, direct_sizes,
+            bwd, bf16=bf16,
         )
 
     def _flops(bsz, f, d):
@@ -440,14 +551,20 @@ def make_cin_stack_pallas(layer_sizes, split_half):
 
     def forward(x0, weights, biases):
         bsz, f, d = x0.shape
-        tb = _tile_for(bsz, f, d, bwd=False)
+        bf16 = _use_bf16(x0)
+        tb = _tile_for(bsz, f, d, bwd=False, bf16=bf16)
         if tb is None:
             return oracle(x0, weights, biases)
+        # real hidden sizes for the weight reshape; the kernel's field
+        # grid f_k is host-padded for bf16 (pad16(f) divides every cf)
         hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
-        x0_t = jnp.transpose(x0, (1, 2, 0)).astype(jnp.float32)  # (F, D, B)
-        w3 = _chunked_weights(
-            [w.astype(jnp.float32) for w in weights], hs, f
-        )
+        f_k = _pad_to(f, 16) if bf16 else f
+        sub = 16 if bf16 else 8
+        op_dt = jnp.bfloat16 if bf16 else jnp.float32
+        x0_t = jnp.transpose(x0, (1, 2, 0)).astype(op_dt)  # (F, D, B)
+        if f_k > f:
+            x0_t = jnp.pad(x0_t, ((0, f_k - f), (0, 0), (0, 0)))
+        w3 = _chunked_weights(weights, hs, f_k, sub=sub, dtype=op_dt)
 
         kernel = partial(
             _stack_kernel,
@@ -455,11 +572,12 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             split_half=split_half,
             direct_sizes=direct_sizes,
             next_sizes=next_sizes,
-            f=f,
+            f=f_k,
             d=d,
+            bf16=bf16,
         )
         in_specs = [
-            pl.BlockSpec((f, d, tb), lambda i: (0, 0, i),
+            pl.BlockSpec((f_k, d, tb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
         ]
         args = [x0_t]
@@ -476,9 +594,15 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             )
             args.append(biases[i].astype(jnp.float32).reshape(-1, 1))
 
-        geoms = [_layer_geom(f, h) for h in hs]
+        hs_k = _hidden_sizes(f_k, layer_sizes, split_half, next_sizes)
+        geoms = [_layer_geom(f_k, h, sub) for h in hs_k]
         h_max = max(g[0] for g in geoms)
         f_pad_max = max(g[2] for g in geoms)
+        scratch_shapes = [pltpu.VMEM((h_max, d, tb), op_dt)]
+        if not bf16:
+            scratch_shapes.append(
+                pltpu.VMEM((f_pad_max, d, tb), jnp.float32)
+            )
         out_t = pl.pallas_call(
             kernel,
             grid=(bsz // tb,),
@@ -487,27 +611,28 @@ def make_cin_stack_pallas(layer_sizes, split_half):
                 (output_dim, tb), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((output_dim, bsz), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((h_max, d, tb), jnp.float32),
-                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
             interpret=jax.default_backend() == "cpu",
             cost_estimate=pl.CostEstimate(
                 flops=_flops(bsz, f, d),
-                bytes_accessed=4 * bsz * (f * d + output_dim),
+                bytes_accessed=x0_t.dtype.itemsize * bsz * f * d
+                + 4 * bsz * output_dim,
                 transcendentals=0,
             ),
         )(*args)
         return jnp.transpose(out_t, (1, 0)).astype(x0.dtype)
 
-    def backward_pallas(x0, weights, biases, g, tb):
+    def backward_pallas(x0, weights, biases, g, tb, bf16):
         bsz, f, d = x0.shape
         hs = _hidden_sizes(f, layer_sizes, split_half, next_sizes)
-        x0_t = jnp.transpose(x0, (1, 2, 0)).astype(jnp.float32)
+        f_k = _pad_to(f, 16) if bf16 else f
+        sub = 16 if bf16 else 8
+        op_dt = jnp.bfloat16 if bf16 else jnp.float32
+        x0_t = jnp.transpose(x0, (1, 2, 0)).astype(op_dt)
+        if f_k > f:
+            x0_t = jnp.pad(x0_t, ((0, f_k - f), (0, 0), (0, 0)))
         g_t = jnp.transpose(g, (1, 0)).astype(jnp.float32)
-        w3 = _chunked_weights(
-            [w.astype(jnp.float32) for w in weights], hs, f
-        )
+        w3 = _chunked_weights(weights, hs, f_k, sub=sub, dtype=op_dt)
 
         kernel = partial(
             _stack_bwd_kernel,
@@ -515,11 +640,12 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             split_half=split_half,
             direct_sizes=direct_sizes,
             next_sizes=next_sizes,
-            f=f,
+            f=f_k,
             d=d,
+            bf16=bf16,
         )
         in_specs = [
-            pl.BlockSpec((f, d, tb), lambda i: (0, 0, i),
+            pl.BlockSpec((f_k, d, tb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((output_dim, tb), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -538,9 +664,9 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             )
             args.append(biases[i].astype(jnp.float32).reshape(-1, 1))
 
-        out_shapes = [jax.ShapeDtypeStruct((f, d, bsz), jnp.float32)]
+        out_shapes = [jax.ShapeDtypeStruct((f_k, d, bsz), jnp.float32)]
         out_specs = [
-            pl.BlockSpec((f, d, tb), lambda i: (0, 0, i),
+            pl.BlockSpec((f_k, d, tb), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
         ]
         for w in w3:  # dW accumulators, chunk-shaped
@@ -556,21 +682,30 @@ def make_cin_stack_pallas(layer_sizes, split_half):
                              memory_space=pltpu.VMEM)
             )
 
-        geoms = [_layer_geom(f, h) for h in hs]
+        hs_k = _hidden_sizes(f_k, layer_sizes, split_half, next_sizes)
+        geoms = [_layer_geom(f_k, h, sub) for h in hs_k]
         h_max = max(g[0] for g in geoms)
         f_pad_max = max(g[2] for g in geoms)
+        scratch_shapes = [
+            pltpu.VMEM((h_max, d, tb), jnp.float32),
+            pltpu.VMEM((sum(layer_sizes), d, tb), jnp.float32),
+            pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
+            pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
+        ]
+        if bf16:
+            scratch_shapes += [
+                pltpu.VMEM((h_max, d, tb), jnp.bfloat16),  # hid mirror
+                pltpu.VMEM(
+                    (max(layer_sizes), d * tb), jnp.bfloat16
+                ),  # dcomp mirror (2-D: no regrouping on write)
+            ]
         outs = pl.pallas_call(
             kernel,
             grid=(bsz // tb,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
-            scratch_shapes=[
-                pltpu.VMEM((h_max, d, tb), jnp.float32),
-                pltpu.VMEM((sum(layer_sizes), d, tb), jnp.float32),
-                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
-                pltpu.VMEM((f_pad_max, d, tb), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
             interpret=jax.default_backend() == "cpu",
             cost_estimate=pl.CostEstimate(
                 flops=4 * _flops(bsz, f, d),  # remat + 3 adjoint matmuls
@@ -579,12 +714,12 @@ def make_cin_stack_pallas(layer_sizes, split_half):
             ),
         )(*args)
 
-        dx0 = jnp.transpose(outs[0], (2, 0, 1)).astype(x0.dtype)
+        dx0 = jnp.transpose(outs[0], (2, 0, 1))[:, :f, :].astype(x0.dtype)
         dws, dbs = [], []
         for i, (w, h) in enumerate(zip(weights, hs)):
             dw3 = outs[1 + i]  # (n_ch, M, CF·H_pad) f-major chunks
             m = w.shape[0]
-            hp, cf, f_pad, n_ch = _layer_geom(f, h)
+            hp, cf, f_pad, n_ch = _layer_geom(f_k, h, sub)
             dw = (
                 dw3.transpose(1, 0, 2)        # (M, n_ch, CF·H_pad)
                 .reshape(m, f_pad, hp)[:, :f, :h]  # drop padding
@@ -674,10 +809,11 @@ def make_cin_stack_pallas(layer_sizes, split_half):
     def bwd(res, g):
         x0, weights, biases = res
         bsz, f, d = x0.shape
-        tb = _tile_for(bsz, f, d, bwd=True)
+        bf16 = _use_bf16(x0)
+        tb = _tile_for(bsz, f, d, bwd=True, bf16=bf16)
         if tb is None:
             return backward_xla(x0, weights, biases, g)
-        return backward_pallas(x0, weights, biases, g, tb)
+        return backward_pallas(x0, weights, biases, g, tb, bf16)
 
     cin_stack.defvjp(fwd, bwd)
     cin_stack.output_dim = output_dim

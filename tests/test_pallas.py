@@ -81,6 +81,197 @@ class TestCinStackKernel:
         ds, _ = cin_layer_sizes((128, 128, 64), True)
         assert sum(ds) == 64 + 64 + 64
 
+    @staticmethod
+    def _bf16_semantics_oracle(layer_sizes, x0, ws, bs, g):
+        """Dense einsum mirror of the bf16-operand kernels' EXACT
+        rounding schedule: bf16 outer products / weight / dcomp operands
+        with f32 accumulation, f32 comp/relu/adjoint reductions. Any
+        deviation beyond f32 reassociation noise is a kernel bug, not
+        rounding."""
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        ds_, ns_ = cin_layer_sizes(layer_sizes, True)
+        n = len(layer_sizes)
+        x0b = x0.astype(bf16)
+        x32 = x0b.astype(f32)
+
+        def w3(i, h):
+            return (
+                ws[i].reshape(layer_sizes[i], h, -1)
+                .astype(bf16).astype(f32)
+            )
+
+        comps, hid_bfs = [], []
+        hid_bf = x0b
+        for i in range(n):
+            hid_bfs.append(hid_bf)
+            outer = (
+                hid_bf[:, :, None, :] * x0b[:, None, :, :]
+            )  # bf16 product rounding, as in-kernel
+            pre = jnp.einsum(
+                "mhf,bhfd->bmd",
+                w3(i, hid_bf.shape[1]),
+                outer.astype(f32),
+            ) + bs[i][None, :, None]
+            comp = jax.nn.relu(pre)
+            comps.append(comp)
+            nxt = comp[:, ds_[i] :, :] if i < n - 1 else comp
+            hid_bf = nxt.astype(bf16)
+
+        out = jnp.concatenate(
+            [
+                jnp.sum(
+                    (c if i == n - 1 else c[:, : ds_[i], :]), axis=2
+                )
+                for i, c in enumerate(comps)
+            ],
+            axis=1,
+        ).astype(x0.dtype)
+
+        # adjoints, kernel rounding schedule. The custom_vjp cotangent
+        # arrives in the OUTPUT's dtype (bf16 when x0 is bf16), so the
+        # kernel sees a bf16-rounded g — mirror that.
+        g = g.astype(x0.dtype).astype(f32)
+        dx0 = jnp.zeros_like(x32)
+        dws, dbs = [None] * n, [None] * n
+        dhid_next = None
+        col = sum(ds_)
+        for i in reversed(range(n)):
+            col -= ds_[i]
+            gi = g[:, col : col + ds_[i]]
+            ddirect = jnp.broadcast_to(
+                gi[:, :, None], (gi.shape[0], ds_[i], x0.shape[2])
+            )
+            if i < n - 1:
+                dcomp = jnp.concatenate([ddirect, dhid_next], axis=1)
+            else:
+                dcomp = ddirect
+            dcomp = dcomp * (comps[i] > 0)
+            dbs[i] = jnp.sum(dcomp, axis=(0, 2))
+            dcomp_bf32 = dcomp.astype(bf16).astype(f32)
+            hid_f32 = x32 if i == 0 else (
+                comps[i - 1][:, ds_[i - 1] :, :]
+                if i - 1 < n - 1
+                else comps[i - 1]
+            )
+            outer = (
+                hid_bfs[i][:, :, None, :] * x0b[:, None, :, :]
+            ).astype(f32)
+            dws[i] = jnp.einsum(
+                "bmd,bhfd->mhf", dcomp_bf32, outer
+            ).reshape(layer_sizes[i], -1)
+            a = jnp.einsum(
+                "mhf,bmd->bhfd",
+                w3(i, hid_bfs[i].shape[1]),
+                dcomp_bf32,
+            )
+            dhid = jnp.einsum("bhfd,bfd->bhd", a, x32)
+            dx0 = dx0 + jnp.einsum("bhfd,bhd->bfd", a, hid_f32)
+            dhid_next = dhid
+        dx0 = (dx0 + dhid_next).astype(x0.dtype)
+        return out, dx0, dws, dbs
+
+    @pytest.mark.parametrize("layer_sizes", [(128, 128), (64,),
+                                             (128, 128, 64)])
+    def test_bf16_operands_exact_semantics(self, layer_sizes):
+        """bf16 MXU-operand path (pallas.cin_bf16_operands) at every
+        shipped geometry vs a dense oracle that mirrors the kernel's
+        rounding schedule exactly — tight tolerances, so chunking /
+        host-padding / mirror-staging bugs cannot hide behind 'bf16
+        rounding'."""
+        from deepfm_tpu.ops.pallas.cin_stack_kernel import (
+            make_cin_stack_pallas,
+        )
+
+        rng = np.random.default_rng(7)
+        B, F, D = 32, 27, 16
+        x0 = jnp.asarray(
+            rng.normal(size=(B, F, D)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        ws, bs = [], []
+        ds_, ns_ = cin_layer_sizes(layer_sizes, True)
+        prev = F
+        for i, ls in enumerate(layer_sizes):
+            ws.append(jnp.asarray(
+                rng.normal(size=(ls, prev * F)).astype(np.float32) * 0.2))
+            bs.append(jnp.asarray(
+                rng.normal(size=(ls,)).astype(np.float32) * 0.2))
+            prev = ns_[i] if i < len(layer_sizes) - 1 else ls
+
+        fn_bf = make_cin_stack_pallas(layer_sizes, True,
+                                      bf16_operands=True)
+        out_bf = np.asarray(fn_bf(x0, ws, bs), np.float32)
+        g = jnp.asarray(
+            rng.normal(size=out_bf.shape).astype(np.float32)
+        )
+        gb = jax.grad(
+            lambda *A: jnp.sum(fn_bf(*A).astype(jnp.float32) * g),
+            argnums=(0, 1, 2),
+        )(x0, ws, bs)
+
+        want_out, want_dx0, want_dws, want_dbs = (
+            self._bf16_semantics_oracle(layer_sizes, x0, ws, bs, g)
+        )
+        # out and dx0 are returned in bf16: f32 chunk-order reassociation
+        # (kernel) vs one einsum (oracle) can flip the final bf16
+        # rounding by 1 ulp. rtol can't express "1 ulp" (it spans
+        # 2^-8..2^-7 across a binade), so compare bf16 bit-distance.
+        def assert_ulp(got, want, max_ulp=1, atol=6e-3):
+            got = np.asarray(got, np.float32)
+            want = np.asarray(want, np.float32)
+            close = np.abs(got - want) <= atol  # near-zero denormal noise
+            def key(a):
+                b = a.astype(jnp.bfloat16).view(np.uint16).astype(np.int32)
+                return np.where(b & 0x8000, 0x8000 - (b & 0x7FFF),
+                                0x8000 + b)
+            ulp = np.abs(key(got) - key(want))
+            bad = (~close) & (ulp > max_ulp)
+            assert not bad.any(), (
+                f"{bad.sum()} elements beyond {max_ulp} bf16 ulp; worst "
+                f"{ulp[bad].max()} ulp at {np.argwhere(bad)[:4].tolist()}"
+            )
+
+        assert_ulp(out_bf, want_out)
+        assert_ulp(gb[0], want_dx0)
+        # dW/db: a pre-activation within f32-reassociation noise of 0 can
+        # land on opposite sides of the ReLU in kernel vs oracle, adding/
+        # dropping one sample's whole contribution — legal ambiguity, not
+        # a bug. Bound the error by a fraction of the gradient's scale:
+        # real chunk/offset bugs shift entire rows by O(scale).
+        for got, want in zip(gb[1], want_dws):
+            want = np.asarray(want, np.float32)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), want, rtol=2e-3,
+                atol=max(3e-3, 2e-3 * float(np.abs(want).max())),
+            )
+        for got, want in zip(gb[2], want_dbs):
+            want = np.asarray(want, np.float32)
+            np.testing.assert_allclose(
+                np.asarray(got, np.float32), want, rtol=2e-3,
+                atol=max(3e-3, 2e-3 * float(np.abs(want).max())),
+            )
+
+    def test_bf16_path_requires_aligned_shapes(self):
+        """Misaligned layer sizes (not 16-multiples) silently keep the
+        f32 path — never a wrong-numbers bf16 run."""
+        from deepfm_tpu.ops.pallas.cin_stack_kernel import (
+            make_cin_stack_pallas,
+        )
+
+        rng = np.random.default_rng(8)
+        x0 = jnp.asarray(
+            rng.normal(size=(16, 5, 8)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        fn = make_cin_stack_pallas((8, 6), True, bf16_operands=True)
+        fn32 = make_cin_stack_pallas((8, 6), True, bf16_operands=False)
+        ws = [jnp.asarray(rng.normal(size=(8, 5 * 5)), jnp.float32),
+              jnp.asarray(rng.normal(size=(6, 4 * 5)), jnp.float32)]
+        bs = [jnp.zeros((8,), jnp.float32), jnp.zeros((6,), jnp.float32)]
+        np.testing.assert_allclose(
+            np.asarray(fn(x0, ws, bs), np.float32),
+            np.asarray(fn32(x0, ws, bs), np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+
     def test_criteo_shape_parity(self):
         """F=27 / layers (128,128): the Criteo-scale shape where the
         first layer has 729 input channels — the fused fwd AND the fused
