@@ -55,6 +55,15 @@ from pathlib import Path
 
 import numpy as np
 
+# Persistent compile cache, unconditionally: fresh compiles ride the
+# slow remote tunnel (a full train step can take >10 min and heavy
+# bursts are what wedge it). Without this a driver invocation that
+# doesn't export the var recompiles all three models from scratch —
+# enough on its own to blow the round budget.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_deepfm"
+)
+
 REPO = Path(__file__).parent
 BASELINE_CACHE = REPO / ".bench_baseline.json"
 LAST_GOOD = REPO / ".bench_last_good.json"
