@@ -80,7 +80,12 @@ MODELS = ("xdeepfm", "attention_deepfm", "deepfm")  # flagship LAST
 TOTAL_BUDGET = int(os.environ.get("DEEPFM_BENCH_BUDGET_S", "2700"))
 PROBE_TIMEOUT = 100
 PROBE_RETRY_SLEEP = 60
-WORKER_TIMEOUT_CAP = 1200
+# A COLD-cache fused train-step compile measured 866s over the tunnel
+# (scripts/compile_bisect.py stage 3, round 4) — the old 1200s cap
+# killed workers mid-compile at exactly that point, which also wasted
+# the compile (the cache only records completed RPCs). Warm-cache
+# workers finish in minutes; the cap only matters cold.
+WORKER_TIMEOUT_CAP = 2400
 
 
 def _workload(rows: int = BATCH):
