@@ -86,7 +86,7 @@ def stage1():
         f"(psq={float(out[3]):.3e})")
 
 
-def _make_trainer(fused: bool):
+def _make_trainer(fused: bool, clip: float = 1.0):
     import bench
 
     # reuse bench.py's exact workload + trainer construction (propagate
@@ -103,7 +103,8 @@ def _make_trainer(fused: bool):
         "dnn": {"hidden_units": [512, 256, 128], "dropout": 0.0,
                 "use_batch_norm": True},
         "training": {"batch_size": BATCH, "compute_dtype": "bfloat16",
-                     "fused_backward": fused},
+                     "fused_backward": fused,
+                     "gradient_clip_norm": clip},
         "output_dir": "/tmp/bench_out",
     })
     model = create_model("deepfm", packed, config)
@@ -142,6 +143,52 @@ def stage5():
         f"-> {ex_s:,.0f} ex/s backward={engagement.get('backward')}")
 
 
+def stage6():
+    """Segmented-scan global-norm assembly alone at bench scale.
+
+    stage1 (kernel+sort, 33s) and stage4 (two-pass step, 35s) compile
+    fast, the FUSED step took 866s — the remaining fused-only
+    structure is sorted_segment_sumsq's associative_scan over the
+    (d+1, 426k) sorted cotangent stream.
+    """
+    from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+        sort_pairs,
+        sorted_segment_sumsq,
+    )
+
+    phys = bench_tables()
+    n = BATCH * NUM_FIELDS
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, phys * PACK, n).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, D + 1)).astype(np.float32))
+
+    @jax.jit
+    def f(ids, ct):
+        sids, ctsT = sort_pairs(ids, ct)
+        return sorted_segment_sumsq(sids, ctsT)
+
+    t0 = time.perf_counter()
+    v = f(ids, ct)
+    jax.block_until_ready(v)
+    log(f"stage6 (segsumsq) OK in {time.perf_counter() - t0:.1f}s "
+        f"ssq={float(v):.3e}")
+
+
+def stage7():
+    """Fused step with clipping disabled (drops the segscan branch
+    from the graph if gating is structural, else isolates the clip
+    scalar plumbing)."""
+    tr, arrays = _make_trainer(fused=True, clip=0.0)
+    t0 = time.perf_counter()
+    tr.state, loss = tr._train_step(
+        tr.state, arrays.ids, arrays.dense, arrays.labels,
+        jnp.ones((BATCH,), jnp.float32),
+    )
+    jax.block_until_ready(loss)
+    log(f"stage7 (fused, no clip) OK in {time.perf_counter() - t0:.1f}s "
+        f"loss={float(loss):.4f}")
+
+
 def main():
     global BATCH, VOCAB
     ap = argparse.ArgumentParser()
@@ -164,6 +211,10 @@ def main():
         stage_step(False, "stage4 (two-pass step)")
     elif args.stage == 5:
         stage5()
+    elif args.stage == 6:
+        stage6()
+    elif args.stage == 7:
+        stage7()
 
 
 if __name__ == "__main__":
