@@ -32,6 +32,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+if "--cpu" in sys.argv:  # must precede backend init; axon ignores env
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -44,6 +49,8 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--quantize", default="", choices=["", "int8"])
     ap.add_argument("--json", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (handled at import)")
     args = ap.parse_args()
 
     import jax
