@@ -481,6 +481,37 @@ def _pick_tile(b, f, d, layer_sizes, split_half, next_sizes,
     return None
 
 
+def _stack_aligned(layer_sizes, split_half) -> bool:
+    """8-row alignment required by the f32 stack kernels' sublane
+    slices (g/out offsets, split routing, dhid handoff)."""
+    direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
+    return all(ds % 8 == 0 for ds in direct_sizes) and all(
+        (next_sizes[i] if split_half else layer_sizes[i]) % 8 == 0
+        for i in range(len(layer_sizes) - 1)
+    )
+
+
+def cin_bf16_eligible(layer_sizes, split_half, embed_dim) -> bool:
+    """True when the bf16 MXU-operand path can engage for this
+    geometry: every layer size and non-first hidden height on the bf16
+    (16, 128) sublane tile (mirror writes / outer regroupings; layer 0
+    is handled by host-padding x0), and the embed dim a lane-tile
+    multiple for the (ls, D*TB) <-> (ls, d, tb) comp regroupings.
+    Shared by the kernel factory's gate and engagement telemetry so
+    the reported kernel list matches what actually compiles."""
+    layer_sizes = tuple(layer_sizes)
+    _, next_sizes = cin_layer_sizes(layer_sizes, split_half)
+    return (
+        _stack_aligned(layer_sizes, split_half)
+        and all(ls % 16 == 0 for ls in layer_sizes)
+        and all(
+            (next_sizes[i] if split_half else layer_sizes[i]) % 16 == 0
+            for i in range(len(layer_sizes) - 1)
+        )
+        and embed_dim % 16 == 0
+    )
+
+
 def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
     """Returns fn(x0 (B,F,D), weights, biases) -> (B, output_dim).
 
@@ -490,22 +521,7 @@ def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
     layer_sizes = tuple(layer_sizes)
     direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
     output_dim = sum(direct_sizes)
-    # row slices inside the kernels (g/out offsets, split routing,
-    # dhid handoff) are sublane slices and must stay 8-aligned on real
-    # TPUs; layer-0's f-sized handoff avoids slicing by construction
-    aligned = all(ds % 8 == 0 for ds in direct_sizes) and all(
-        (next_sizes[i] if split_half else layer_sizes[i]) % 8 == 0
-        for i in range(len(layer_sizes) - 1)
-    )
-    # bf16 operand path: every non-first hidden height AND every layer
-    # size must sit on the bf16 (16, 128) sublane tile (mirror writes /
-    # outer regroupings); layer 0 is handled by host-padding x0
-    bf16_aligned = aligned and all(ls % 16 == 0 for ls in layer_sizes) and (
-        all(
-            (next_sizes[i] if split_half else layer_sizes[i]) % 16 == 0
-            for i in range(len(layer_sizes) - 1)
-        )
-    )
+    aligned = _stack_aligned(layer_sizes, split_half)
 
     def oracle(x0, weights, biases):
         from deepfm_tpu.ops.cin import cin_compress
@@ -526,9 +542,8 @@ def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
     def _use_bf16(x0) -> bool:
         return (
             bf16_operands
-            and bf16_aligned
             and x0.dtype == jnp.bfloat16
-            and x0.shape[2] % 16 == 0  # comp (ls, D·TB)->(ls, d, tb)
+            and cin_bf16_eligible(layer_sizes, split_half, x0.shape[2])
         )
 
     def _tile_for(bsz, f, d, bwd, bf16=False):

@@ -118,7 +118,22 @@ def trainer_engagement(trainer) -> dict:
             pass  # densify kernel already listed via the lookup label
     model_name = trainer.config.model_name
     if model_name == "xdeepfm" and trainer.config.pallas.use_cin_kernel:
-        kernels.append("cin_stack")
+        from deepfm_tpu.ops.pallas.cin_stack_kernel import (
+            cin_bf16_eligible,
+        )
+
+        if (
+            trainer.config.pallas.cin_bf16_operands
+            and trainer.config.training.compute_dtype == "bfloat16"
+            and cin_bf16_eligible(
+                trainer.config.cin.layer_sizes,
+                trainer.config.cin.split_half,
+                trainer.config.feature.fm_embed_dim,
+            )
+        ):
+            kernels.append("cin_stack_bf16")
+        else:
+            kernels.append("cin_stack")
     if model_name == "attention_deepfm":
         attn = _attention_kernel(trainer)
         if attn:
@@ -143,6 +158,7 @@ _LABEL_TO_MOSAIC: dict[str, tuple[str, ...]] = {
     "grad_densify": ("_densify_kernel",),
     "embedding_kernel": ("_gather_kernel",),
     "cin_stack": ("_stack_kernel", "_stack_bwd_kernel"),
+    "cin_stack_bf16": ("_stack_kernel", "_stack_bwd_kernel"),
     "attn_fmajor": ("_attn_fwd_kernel", "_attn_bwd_kernel"),
     "attn_smajor": ("_attn_kernel",),
 }

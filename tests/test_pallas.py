@@ -272,6 +272,51 @@ class TestCinStackKernel:
             rtol=1e-5, atol=1e-6,
         )
 
+    def test_bf16_flag_wires_through_xdeepfm(self):
+        """models/xdeepfm.py must thread pallas.cin_bf16_operands into
+        the CIN module: flag on vs off at an eligible bf16 geometry
+        agree within bf16 operand rounding (wiring test — exactness is
+        covered by the semantics oracle above)."""
+        import jax
+
+        from deepfm_tpu.config import config_from_dict
+        from deepfm_tpu.data.packing import pack_features, pack_schema
+        from deepfm_tpu.data.schema import (
+            DatasetSchema,
+            FeatureType,
+            FieldSchema,
+        )
+        from deepfm_tpu.models import create_model
+
+        fields = {
+            f"cat_{i}": FieldSchema(
+                f"cat_{i}", FeatureType.SPARSE, 64, 16, "user"
+            )
+            for i in range(4)
+        }
+        packed = pack_schema(DatasetSchema(fields=fields))
+        rng = np.random.default_rng(3)
+        feats = {f"cat_{i}": rng.integers(1, 64, 32) for i in range(4)}
+        labels = rng.integers(0, 2, 32).astype(np.float32)
+        arrays = pack_features(packed, feats, labels)
+
+        outs = {}
+        for flag in (False, True):
+            cfg = config_from_dict({
+                "model_name": "xdeepfm",
+                "training": {"compute_dtype": "bfloat16"},
+                "cin": {"layer_sizes": [16, 16]},
+                "pallas": {"cin_bf16_operands": flag},
+                "output_dir": "/tmp/bf16_wire_test",
+            })
+            model = create_model("xdeepfm", packed, cfg)
+            v = model.init(jax.random.PRNGKey(0), arrays.ids, arrays.dense)
+            outs[flag] = np.asarray(
+                model.apply(v, arrays.ids, arrays.dense), np.float32
+            )
+        np.testing.assert_allclose(outs[False], outs[True],
+                                   rtol=2e-2, atol=2e-2)
+
     def test_criteo_shape_parity(self):
         """F=27 / layers (128,128): the Criteo-scale shape where the
         first layer has 729 input channels — the fused fwd AND the fused

@@ -91,6 +91,23 @@ CASES = [
     ("attention_deepfm", {"pallas": {"table_layout": "packed"}}, None,
      "sparse_fused",
      ["packed_window_gather", "sparse_adam_merged", "attn_fmajor"]),
+    # bf16 CIN operands: engages only with bfloat16 compute AND a
+    # 16-aligned geometry — the label must track the kernel's own gate
+    ("xdeepfm", {"pallas": {"table_layout": "packed",
+                            "cin_bf16_operands": True},
+                 "training": {"compute_dtype": "bfloat16"}}, None,
+     "sparse_fused",
+     ["packed_window_gather", "sparse_adam_merged", "cin_stack_bf16"]),
+    ("xdeepfm", {"pallas": {"table_layout": "packed",
+                            "cin_bf16_operands": True},
+                 "training": {"compute_dtype": "bfloat16"},
+                 "cin": {"layer_sizes": [128, 72]}}, None,
+     "sparse_fused",
+     ["packed_window_gather", "sparse_adam_merged", "cin_stack"]),
+    ("xdeepfm", {"pallas": {"table_layout": "packed",
+                            "cin_bf16_operands": True}}, None,
+     "sparse_fused",
+     ["packed_window_gather", "sparse_adam_merged", "cin_stack"]),
     # pure-DP mesh: fused sparse path with replicated pairs
     ("deepfm", {"pallas": {"table_layout": "packed"}}, (8, 1),
      "sparse_fused_replicated",
