@@ -190,13 +190,15 @@ def sort_pairs(flat_ids: jax.Array, ct: jax.Array):
     return sids, ctsT
 
 
-def sorted_segment_sumsq(sids: jax.Array, ctsT: jax.Array) -> jax.Array:
-    """sum_r || sum_{i: sids[i]==r} ct_i ||^2 for SORTED ids — no scatter.
+def sorted_segment_sumsq_scan(sids: jax.Array, ctsT: jax.Array) -> jax.Array:
+    """Associative-scan reference for ``sorted_segment_sumsq``.
 
-    Segmented inclusive scan along the n axis (lanes; the feature axis
-    rides sublanes so nothing lane-pads), then the squared norms of the
-    run-end rows. This is exactly ``sumsq(densify(ct, ids))`` up to f32
-    summation order.
+    Exact (up to f32 summation order), but jax.lax.associative_scan
+    EXPANDS its log-depth network into explicit HLO: at the bench-scale
+    stream (17, 426k) the resulting module stalled the remote TPU
+    compiler for >20 min standalone (compile_bisect stage 6, round 4)
+    and accounts for the fused step's 866 s compile. Kept as the
+    oracle; production dispatches to the Pallas kernel below.
     """
     n = sids.shape[0]
     is_start = jnp.concatenate(
@@ -216,6 +218,117 @@ def sorted_segment_sumsq(sids: jax.Array, ctsT: jax.Array) -> jax.Array:
     )  # (n,)
     run_sq = jnp.sum(seg_v * seg_v, axis=0)  # (n,)
     return jnp.sum(jnp.where(is_end, run_sq, 0.0))
+
+
+SEGSQ_CHUNK = 512
+
+
+def _segsumsq_kernel(ids_ref, idsc_ref, ct_ref, out_ref, svec, scal,
+                     *, c):
+    """One chunk of the pairwise segmented sumsq.
+
+    Identity: sum_r ||sum_{i in r} ct_i||^2
+            = sum_{i,j: sids_i == sids_j} <ct_i, ct_j>,
+    which decomposes chunk-locally: within-chunk pairs are
+    sum(CT^T CT  where same-id), and pairs spanning chunks are
+    2 * <carried open-run sum, this chunk's columns of that run>
+    (sorted ids keep every run contiguous across chunk boundaries).
+    The grid runs sequentially on the core, so the open-run carry
+    lives in scratch: svec (d, 1) = open-run sum, scal (1, 2) SMEM =
+    [carry_id, running_total]. ids arrive twice — (1, c) lane-wise and
+    (c, 1) sublane-wise — so the (c, c) same-id mask needs no
+    in-kernel transpose.
+    """
+    t = pl.program_id(0)
+    first = t == 0
+    ids = ids_ref[:]  # (1, c) f32 (logical ids < 2^24 exact)
+    ids_col = idsc_ref[:]  # (c, 1) f32, same values
+    ct = ct_ref[:]  # (d_pad, c) f32, padded cols are zero
+
+    carry_id = jnp.where(first, -2.0, scal[0, 0])
+    total = jnp.where(first, 0.0, scal[0, 1])
+    s_in = jnp.where(first, jnp.zeros_like(svec[:]), svec[:])  # (d, 1)
+
+    # within-chunk pairs (diagonal included: that's ||ct_i||^2 once)
+    same = ids_col == ids  # (c, c) broadcast compare
+    g = jax.lax.dot_general(
+        ct, ct, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (c, c)
+    within = jnp.sum(jnp.where(same, g, 0.0))
+
+    # cross-chunk pairs with the carried open run
+    mcarry = ids == carry_id  # (1, c)
+    v = jnp.sum(jnp.where(mcarry, ct, 0.0), axis=1, keepdims=True)
+    cross = 2.0 * jnp.sum(s_in * v)
+
+    # trailing open run -> carry out. The chunk is sorted and pads are
+    # -1, so the last REAL id is simply the max.
+    last_id = jnp.max(ids)
+    mlast = ids == last_id
+    tsum = jnp.sum(jnp.where(mlast, ct, 0.0), axis=1, keepdims=True)
+    svec[:] = tsum + jnp.where(last_id == carry_id, s_in, 0.0)
+    scal[0, 0] = last_id
+    scal[0, 1] = total + within + cross
+    out_ref[0, 0] = scal[0, 1]
+
+
+def segment_sumsq_pairs(sids: jax.Array, ctsT: jax.Array) -> jax.Array:
+    """Pallas segmented sumsq over a SORTED (ids, ct) stream.
+
+    Single sequential pass, one (C, C) MXU contraction per chunk —
+    compiles in seconds where the associative-scan version stalls the
+    remote compiler (see sorted_segment_sumsq_scan). Same value up to
+    f32 summation order (the clip-norm contract already allows
+    O(1e-7) relative there, RESULTS.md round 3).
+    """
+    d, n = ctsT.shape
+    c = SEGSQ_CHUNK
+    n_pad = ((n + c - 1) // c) * c
+    d_pad = _pad(max(d, 8), 8)
+    # ids -1 padding never matches a real id; zero ct pads are inert
+    ids_f = jnp.full((1, n_pad), -1.0, jnp.float32)
+    ids_f = ids_f.at[0, :n].set(sids.astype(jnp.float32))
+    ct_p = jnp.zeros((d_pad, n_pad), jnp.float32)
+    ct_p = ct_p.at[:d, :n].set(ctsT.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        partial(_segsumsq_kernel, c=c),
+        grid=(n_pad // c,),
+        in_specs=[
+            pl.BlockSpec((1, c), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, c), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda t: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((d_pad, 1), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * c * d_pad,
+            bytes_accessed=(d_pad + 1) * n_pad * 4,
+            transcendentals=0,
+        ),
+    )(ids_f, jnp.transpose(ids_f, (1, 0)), ct_p)
+    return out[0, 0]
+
+
+def sorted_segment_sumsq(sids: jax.Array, ctsT: jax.Array) -> jax.Array:
+    """sum_r || sum_{i: sids[i]==r} ct_i ||^2 for SORTED ids — no scatter.
+
+    Dispatches to the Pallas pairwise kernel (compile-time and runtime
+    win); the associative-scan reference stays as the test oracle.
+    This is exactly ``sumsq(densify(ct, ids))`` up to f32 summation
+    order.
+    """
+    return segment_sumsq_pairs(sids, ctsT)
 
 
 @partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))

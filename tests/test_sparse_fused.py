@@ -125,6 +125,31 @@ class TestKernel:
         want = float(jnp.sum(jnp.square(g)))
         assert got == pytest.approx(want, rel=1e-5)
 
+    @pytest.mark.parametrize("n,vocab", [
+        (37, 10),        # ragged single chunk
+        (1500, 7),       # few runs, multi-chunk, runs span chunks
+        (5000, 100000),  # nearly all-unique, multi-chunk
+        (4096, 1),       # ONE run across all chunks (carry chain)
+    ])
+    def test_pairs_kernel_matches_scan_oracle(self, n, vocab):
+        """The Pallas pairwise kernel (production sorted_segment_sumsq)
+        == the associative-scan reference at every carry topology. The
+        scan is kept ONLY as this oracle: at bench scale it stalls the
+        remote TPU compiler (compile_bisect stage 6)."""
+        from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+            segment_sumsq_pairs,
+            sort_pairs,
+            sorted_segment_sumsq_scan,
+        )
+
+        rng = np.random.default_rng(n)
+        ids = jnp.asarray(rng.integers(0, vocab, n).astype(np.int32))
+        ct = jnp.asarray(rng.normal(size=(n, 17)).astype(np.float32))
+        sids, ctsT = sort_pairs(ids, ct)
+        got = float(segment_sumsq_pairs(sids, ctsT))
+        want = float(sorted_segment_sumsq_scan(sids, ctsT))
+        assert got == pytest.approx(want, rel=1e-5)
+
     def test_all_unique_and_all_same(self):
         from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
             sort_pairs,
