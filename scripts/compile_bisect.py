@@ -189,6 +189,35 @@ def stage7():
         f"loss={float(loss):.4f}")
 
 
+def stage8():
+    """Pairwise Pallas segsumsq (the associative-scan replacement) at
+    bench scale: compile + run + value parity vs a small-slice oracle."""
+    from deepfm_tpu.ops.pallas.sparse_adam_kernel import (
+        segment_sumsq_pairs,
+        sort_pairs,
+        sorted_segment_sumsq_scan,
+    )
+
+    phys = bench_tables()
+    n = BATCH * NUM_FIELDS
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, phys * PACK, n).astype(np.int32))
+    ct = jnp.asarray(rng.normal(size=(n, D + 1)).astype(np.float32))
+    t0 = time.perf_counter()
+    sids, ctsT = sort_pairs(ids, ct)
+    v = segment_sumsq_pairs(sids, ctsT)
+    jax.block_until_ready(v)
+    log(f"stage8 (pairs segsumsq) OK in {time.perf_counter() - t0:.1f}s "
+        f"ssq={float(v):.6e}")
+    # value check on a slice small enough for the scan to compile
+    m = 8192
+    sids_s, ctsT_s = sort_pairs(ids[:m], ct[:m])
+    a = float(segment_sumsq_pairs(sids_s, ctsT_s))
+    b = float(sorted_segment_sumsq_scan(sids_s, ctsT_s))
+    log(f"stage8 slice parity: pairs={a:.6e} scan={b:.6e} "
+        f"rel={abs(a - b) / max(abs(b), 1e-30):.2e}")
+
+
 def main():
     global BATCH, VOCAB
     ap = argparse.ArgumentParser()
@@ -215,6 +244,8 @@ def main():
         stage6()
     elif args.stage == 7:
         stage7()
+    elif args.stage == 8:
+        stage8()
 
 
 if __name__ == "__main__":
