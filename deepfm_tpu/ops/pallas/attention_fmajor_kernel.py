@@ -19,7 +19,10 @@ lane-padded at any field count:
   kernel into 128 tiny batched matmuls per tile) never appear;
 * the output projection is one batched MXU matmul back to ``(F,d,TB)``.
 
-All leading-dim slices (``q4[i]``, ``ctx_scr[i]``) are free; the only
+Per-query reads come from the REFS (``qkv_scr[i, ...]``, ``dctx_scr[i]``)
+— value-level ``q4[i]`` lowers to dynamic_slice, which Mosaic TC does
+not implement (round-4 on-hardware finding; interpret mode hides it).
+All leading-dim ref slices are free; the only
 relayouts are F·H single-row moves per query field (``wi[:, :, None]``,
 moving the head axis sublane->leading). Sublane splits are tile-clean
 (64 -> (4,16); 16 rows = 2 whole f32 tiles) — never by a non-multiple
@@ -85,12 +88,14 @@ def _attn_fwd_kernel(
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:]
 
-    q4 = _split_heads(qkv_scr[:], a, H, hd, 0)          # (F, H, hd, TB)
     k4 = _split_heads(qkv_scr[:], a, H, hd, 1)
     v4 = _split_heads(qkv_scr[:], a, H, hd, 2)
 
     def body(i, carry):
-        qi = q4[i]                                      # (H, hd, TB) free
+        # read query i from the REF: a value-level q4[i] would lower to
+        # dynamic_slice, which Mosaic TC does not implement (interpret
+        # mode hides this); dynamic leading-index ref loads are fine
+        qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)
         si = jnp.sum(qi[None] * k4, axis=2) * scale     # (F, H, TB)
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
@@ -158,12 +163,11 @@ def _attn_bwd_kernel(
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[:]
-    q4 = _split_heads(qkv_scr[:], a, H, hd, 0)
     k4 = _split_heads(qkv_scr[:], a, H, hd, 1)
     v4 = _split_heads(qkv_scr[:], a, H, hd, 2)
 
     def fwd_body(i, carry):
-        qi = q4[i]
+        qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)  # ref load
         si = jnp.sum(qi[None] * k4, axis=2) * scale
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
@@ -225,12 +229,14 @@ def _attn_bwd_kernel(
     dv_scr[:] = jnp.zeros((F, H, hd, TB), jnp.float32)
 
     def bwd_body(i, carry):
-        qi = q4[i]
+        # qkv_scr still holds (q|k|v) here — it is repacked with the
+        # adjoints only AFTER this loop
+        qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)  # ref load
         si = jnp.sum(qi[None] * k4, axis=2) * scale
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
         wi = e / jnp.sum(e, axis=0, keepdims=True)      # (F, H, TB)
-        dctx_i = dctx_scr[i]                            # (H, hd, TB) free
+        dctx_i = dctx_scr[i]                            # (H, hd, TB) ref load
         dwi = jnp.sum(dctx_i[None] * v4, axis=2)        # (F, H, TB)
         dsi = wi * (dwi - jnp.sum(dwi * wi, axis=0, keepdims=True))
         dsi = dsi * scale
