@@ -72,7 +72,7 @@ def _split_heads(qkv, a, num_heads, head_dim, part):
 
 def _attn_fwd_kernel(
     x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ls_ref, lb_ref,
-    out_ref, qkv_scr, ctx_scr,
+    out_ref, qkv_scr, ctx_scr, s_scr,
     *, num_heads, head_dim, use_residual,
 ):
     F, d, TB = x_ref.shape
@@ -96,7 +96,11 @@ def _attn_fwd_kernel(
         # dynamic_slice, which Mosaic TC does not implement (interpret
         # mode hides this); dynamic leading-index ref loads are fine
         qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)
-        si = jnp.sum(qi[None] * k4, axis=2) * scale     # (F, H, TB)
+        # round-trip the scores through VMEM: the hd-reduction leaves a
+        # replicated-sublane layout Mosaic cannot relayout for the
+        # softmax chain ("Invalid relayout", round-4 hardware finding)
+        s_scr[:] = jnp.sum(qi[None] * k4, axis=2) * scale
+        si = s_scr[:]                                   # (F, H, TB)
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
         wi = e / jnp.sum(e, axis=0, keepdims=True)      # (F, H, TB)
@@ -126,7 +130,7 @@ def _attn_bwd_kernel(
     x_ref, g_ref, wqkv_ref, bqkv_ref, wo_ref, wof_ref, wqkvt_ref,
     bo_ref, ls_ref,
     dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref, dls_ref, dlb_ref,
-    qkv_scr, ctx_scr, dctx_scr, dk_scr, dv_scr,
+    qkv_scr, ctx_scr, dctx_scr, dk_scr, dv_scr, s_scr,
     *, num_heads, head_dim, use_residual,
 ):
     """Fused backward: recomputes the forward, emits dx + all param grads.
@@ -168,7 +172,8 @@ def _attn_bwd_kernel(
 
     def fwd_body(i, carry):
         qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)  # ref load
-        si = jnp.sum(qi[None] * k4, axis=2) * scale
+        s_scr[:] = jnp.sum(qi[None] * k4, axis=2) * scale  # layout fix
+        si = s_scr[:]
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
         wi = e / jnp.sum(e, axis=0, keepdims=True)
@@ -232,12 +237,14 @@ def _attn_bwd_kernel(
         # qkv_scr still holds (q|k|v) here — it is repacked with the
         # adjoints only AFTER this loop
         qi = qkv_scr[i, pl.ds(0, a), :].reshape(H, hd, TB)  # ref load
-        si = jnp.sum(qi[None] * k4, axis=2) * scale
+        s_scr[:] = jnp.sum(qi[None] * k4, axis=2) * scale  # layout fix
+        si = s_scr[:]
         m = jnp.max(si, axis=0, keepdims=True)
         e = jnp.exp(si - m)
         wi = e / jnp.sum(e, axis=0, keepdims=True)      # (F, H, TB)
         dctx_i = dctx_scr[i]                            # (H, hd, TB) ref load
-        dwi = jnp.sum(dctx_i[None] * v4, axis=2)        # (F, H, TB)
+        s_scr[:] = jnp.sum(dctx_i[None] * v4, axis=2)   # layout fix
+        dwi = s_scr[:]                                  # (F, H, TB)
         dsi = wi * (dwi - jnp.sum(dwi * wi, axis=0, keepdims=True))
         dsi = dsi * scale
         dsi_r = dsi[:, :, None, :]                      # F*H row moves
@@ -403,6 +410,7 @@ def make_attention_block_fmajor(num_heads: int, use_residual: bool):
             scratch_shapes=[
                 pltpu.VMEM((F, 3 * a, tb), jnp.float32),
                 pltpu.VMEM((F, H, hd, tb), jnp.float32),
+                pltpu.VMEM((F, H, tb), jnp.float32),  # score layout fix
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
@@ -460,6 +468,7 @@ def make_attention_block_fmajor(num_heads: int, use_residual: bool):
                 pltpu.VMEM((F, H, hd, tb), f32),  # dctx
                 pltpu.VMEM((F, H, hd, tb), f32),  # dk
                 pltpu.VMEM((F, H, hd, tb), f32),  # dv
+                pltpu.VMEM((F, H, tb), f32),      # score layout fix
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
