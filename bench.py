@@ -357,22 +357,52 @@ def _probe_until(deadline: float) -> bool:
         time.sleep(PROBE_RETRY_SLEEP)
 
 
+def _git_sha() -> str:
+    """Short HEAD SHA, or 'unknown' outside a usable git checkout."""
+    try:
+        r = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        )
+        return r.stdout.strip() if r.returncode == 0 else "unknown"
+    except OSError:
+        return "unknown"
+
+
 def _stale_line(name: str, reason: str) -> dict:
-    """Last-known-good fallback line for one model, clearly marked."""
+    """Last-known-good fallback line for one model, clearly marked.
+
+    The entry is commit-bound: if HEAD has moved past the SHA the
+    number was measured at, the note says so explicitly — a stale line
+    must never silently describe a configuration that no longer exists
+    at HEAD (BENCH_r04 shipped a pre-bf16-CIN-flip xdeepfm line whose
+    kernel list was dead at HEAD; VERDICT r4 #2).
+    """
     lkg = {}
     if LAST_GOOD.exists():
         lkg = json.loads(LAST_GOOD.read_text()).get(name, {})
+    note = (
+        f"{reason}; last-known-good {lkg.get('measured', 'never')} "
+        f"({lkg.get('provenance', 'none')})"
+    )
+    recorded_sha = lkg.get("git_sha")
+    if recorded_sha:
+        head = _git_sha()
+        if head != "unknown" and head != recorded_sha:
+            note += (
+                f"; HEAD ({head}) has moved past the recorded commit "
+                f"({recorded_sha}) — this number may not describe "
+                "current code"
+            )
     line = {
         "metric": f"{name}_train_step_throughput",
         "value": lkg.get("value", 0.0),
         "unit": "examples/sec/chip",
         "vs_baseline": lkg.get("vs_baseline", 0.0),
         "stale": True,
-        "note": f"{reason}; last-known-good "
-                f"{lkg.get('measured', 'never')} "
-                f"({lkg.get('provenance', 'none')})",
+        "note": note,
     }
-    for k in ("backward", "kernels"):
+    for k in ("backward", "kernels", "git_sha", "config_fp"):
         if k in lkg:
             line[k] = lkg[k]
     return line
@@ -387,7 +417,9 @@ def _record_good(name: str, line: dict) -> None:
             data = {}
     entry = {k: v for k, v in line.items() if k != "metric"}
     entry["measured"] = time.strftime("%Y-%m-%d")
-    entry["provenance"] = "bench.py on-hardware run"
+    sha = _git_sha()
+    entry["git_sha"] = sha
+    entry["provenance"] = f"bench.py on-hardware run @ {sha}"
     data[name] = entry
     LAST_GOOD.write_text(json.dumps(data, indent=1))
 

@@ -68,7 +68,9 @@ def test_record_good_round_trips_through_stale_line(bench):
     }
     bench._record_good("deepfm", measured)
     ledger = json.loads(bench.LAST_GOOD.read_text())
-    assert ledger["deepfm"]["provenance"] == "bench.py on-hardware run"
+    assert ledger["deepfm"]["provenance"].startswith(
+        "bench.py on-hardware run"
+    )
     assert "measured" in ledger["deepfm"]
 
     line = bench._stale_line("deepfm", "budget exhausted")
@@ -77,6 +79,36 @@ def test_record_good_round_trips_through_stale_line(bench):
     assert line["backward"] == "sparse_fused"
     assert line["kernels"] == measured["kernels"]
     assert "bench.py on-hardware run" in line["note"]
+
+
+def test_record_good_binds_commit_and_stale_line_flags_movement(
+    bench, monkeypatch
+):
+    """VERDICT r4 #2: the ledger must carry the measuring commit, and a
+    stale replay must say when HEAD has moved past it."""
+    monkeypatch.setattr(bench, "_git_sha", lambda: "abc1234")
+    bench._record_good(
+        "xdeepfm",
+        {
+            "metric": "xdeepfm_train_step_throughput",
+            "value": 463900.0,
+            "kernels": ["cin_stack"],
+        },
+    )
+    ledger = json.loads(bench.LAST_GOOD.read_text())
+    assert ledger["xdeepfm"]["git_sha"] == "abc1234"
+    assert "abc1234" in ledger["xdeepfm"]["provenance"]
+
+    # same commit: no movement warning
+    line = bench._stale_line("xdeepfm", "wedged")
+    assert "moved past" not in line["note"]
+    assert line["git_sha"] == "abc1234"
+
+    # HEAD moved: the note must say the number may describe dead code
+    monkeypatch.setattr(bench, "_git_sha", lambda: "def5678")
+    line = bench._stale_line("xdeepfm", "wedged")
+    assert "moved past" in line["note"]
+    assert "abc1234" in line["note"] and "def5678" in line["note"]
 
 
 def test_record_good_survives_corrupt_ledger(bench):
@@ -106,6 +138,7 @@ def test_orchestrator_happy_path_emits_and_records(
 ):
     monkeypatch.setattr(bench, "_probe_until", lambda deadline: True)
     monkeypatch.setattr(bench, "_probe_once", lambda: True)
+    monkeypatch.setattr(bench, "_git_sha", lambda: "abc1234")
 
     class FakeDone:
         returncode = 0
@@ -144,6 +177,7 @@ def test_orchestrator_mid_bench_wedge_falls_back_for_rest(
     )
     monkeypatch.setattr(bench, "_probe_until", lambda deadline: True)
     monkeypatch.setattr(bench, "_probe_once", lambda: False)
+    monkeypatch.setattr(bench, "_git_sha", lambda: "abc1234")
 
     def fake_run(cmd, timeout, capture_output, text):
         raise bench.subprocess.TimeoutExpired(cmd, timeout)
