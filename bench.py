@@ -408,7 +408,7 @@ def _stale_line(name: str, reason: str) -> dict:
     return line
 
 
-def _record_good(name: str, line: dict) -> None:
+def _record_good(name: str, line: dict, config_fp: str = "") -> None:
     data = {}
     if LAST_GOOD.exists():
         try:
@@ -419,9 +419,33 @@ def _record_good(name: str, line: dict) -> None:
     entry["measured"] = time.strftime("%Y-%m-%d")
     sha = _git_sha()
     entry["git_sha"] = sha
+    if config_fp:
+        entry["config_fp"] = config_fp
     entry["provenance"] = f"bench.py on-hardware run @ {sha}"
     data[name] = entry
     LAST_GOOD.write_text(json.dumps(data, indent=1))
+
+
+def _config_fp(args) -> str:
+    """Knobs that change WHAT the worker measures — recorded with each
+    last-good entry so a stale replay names the configuration it
+    describes, not just the commit."""
+    return (
+        f"moments={args.moments_dtype},"
+        f"fused_backward={not args.no_fused_backward}"
+    )
+
+
+def _cache_is_warm() -> bool:
+    """Heuristic: does the persistent compile cache already hold this
+    session's programs?  Warm workers finish in minutes, so the probe
+    window can eat most of the budget; cold workers need ~15 min of
+    compile each, so probing must stop early enough to pay for them."""
+    try:
+        d = Path(os.environ["JAX_COMPILATION_CACHE_DIR"])
+        return sum(1 for _ in d.iterdir()) >= 20
+    except (KeyError, OSError):
+        return False
 
 
 def run_orchestrator(args) -> None:
@@ -429,9 +453,20 @@ def run_orchestrator(args) -> None:
     start = time.monotonic()
     deadline = start + TOTAL_BUDGET
 
-    # Probe window: up to half the budget (a wedge clearing mid-window is
-    # common); leave the rest for the actual measurements.
-    probe_deadline = min(start + TOTAL_BUDGET / 2, deadline - 120)
+    # Probe window (VERDICT r4 #1c: wedges last 20 min-5 h, so probe as
+    # wide as the measurement budget allows): with a WARM compile cache
+    # a worker needs ~5 min, so reserve 5 min per model + slack and
+    # probe through everything else. With a COLD cache the old
+    # half-budget split stands — workers need the time more than the
+    # probe does.
+    if _cache_is_warm():
+        reserve = 120 + 300 * len(models)
+        probe_deadline = max(
+            start + TOTAL_BUDGET / 2, deadline - reserve
+        )
+    else:
+        probe_deadline = start + TOTAL_BUDGET / 2
+    probe_deadline = min(probe_deadline, deadline - 120)
     healthy = _probe_until(probe_deadline)
     if not healthy:
         print(
@@ -470,7 +505,7 @@ def run_orchestrator(args) -> None:
                     parsed = json.loads(ln)
                     _emit(parsed)
                     if parsed["metric"].endswith("train_step_throughput"):
-                        _record_good(name, parsed)
+                        _record_good(name, parsed, _config_fp(args))
                 continue
             reason = (
                 f"worker rc={r.returncode}: "

@@ -193,3 +193,40 @@ def test_orchestrator_mid_bench_wedge_falls_back_for_rest(
     ]
     assert all(ln["stale"] for ln in lines)
     assert lines[1]["value"] == 9.0  # ledger value carried, not zeroed
+
+def test_cache_warmth_heuristic(bench, monkeypatch, tmp_path):
+    cache = tmp_path / "jax_cache"
+    cache.mkdir()
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(cache))
+    assert not bench._cache_is_warm()  # empty dir: cold
+    for i in range(20):
+        (cache / f"entry_{i}").write_text("x")
+    assert bench._cache_is_warm()
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR", str(tmp_path / "missing")
+    )
+    assert not bench._cache_is_warm()  # unreadable dir: cold
+
+
+def test_probe_window_widens_only_when_warm(bench, monkeypatch):
+    """Warm cache -> probe window extends past half the budget (wedges
+    last 20min-5h; warm workers only need ~5 min each). Cold cache ->
+    the old half-budget split (workers need the time to compile)."""
+    seen = {}
+
+    def capture(deadline):
+        seen["deadline"] = deadline
+        return False
+
+    monkeypatch.setattr(bench, "_probe_until", capture)
+    monkeypatch.setattr(bench.time, "monotonic", lambda: 0.0)
+
+    monkeypatch.setattr(bench, "_cache_is_warm", lambda: False)
+    bench.run_orchestrator(_args())
+    assert seen["deadline"] == bench.TOTAL_BUDGET / 2
+
+    monkeypatch.setattr(bench, "_cache_is_warm", lambda: True)
+    bench.run_orchestrator(_args())
+    reserve = 120 + 300 * 3
+    assert seen["deadline"] == bench.TOTAL_BUDGET - reserve
+    assert seen["deadline"] > bench.TOTAL_BUDGET / 2
