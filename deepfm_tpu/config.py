@@ -106,7 +106,12 @@ class TrainingConfig:
     # pass (the largest single pass of the DeepFM step) at the cost of
     # 8-bit-mantissa moment quantization; params stay f32. Applies only
     # to the fused table Adam; the dense towers and lazy_adam keep f32.
-    moments_dtype: str = "float32"
+    # Default bfloat16 (round 5): measured +3.7%/+2.0%/+2.4% step
+    # throughput on deepfm/xdeepfm/attention (outputs/moments_step_ab)
+    # with ranking-metric deltas <= 2e-4 AUC across 3 seeds
+    # (outputs/moments_dtype_ab). This deviates from optax bitwise
+    # parity — set "float32" to recover the optax-exact moment stream.
+    moments_dtype: str = "bfloat16"
     # Fuse the table backward INTO the optimizer pass: the dense table
     # gradient never touches HBM (ops/pallas/sparse_adam_kernel.py) and
     # the decayed clip norm is assembled sparsely from the sorted

@@ -752,6 +752,11 @@ class TestFusedTableAdam:
                     "training": {
                         "batch_size": 32, "num_epochs": 1,
                         "scheduler": "none",
+                        # optax-parity contract: optax stores f32 moments,
+                        # so the comparison pins the optax-exact config
+                        # (the bf16-moment default is covered by
+                        # TestBf16Moments and the fast-vs-two-pass suite)
+                        "moments_dtype": "float32",
                     },
                 }
             )
@@ -817,6 +822,9 @@ class TestFusedTableAdam:
                     "training": {
                         "batch_size": 32, "num_epochs": 1,
                         "scheduler": "none",
+                        # optax-parity contract (see the single-device
+                        # test above): pin the optax-exact f32 moments
+                        "moments_dtype": "float32",
                     },
                 }
             )

@@ -223,15 +223,33 @@ class TestTrainerParity:
             assert float(v) == pytest.approx(want, rel=1e-5)
 
     def test_clip_disabled_bit_exact(self, tmp_path):
-        """With clipping off the two paths share every f32 op — the
-        table params must match bit-for-bit."""
-        res = self._two_paths(tmp_path, gradient_clip_norm=0.0)
+        """With clipping off and f32 moments the two paths share every
+        f32 op — the table params must match bit-for-bit."""
+        res = self._two_paths(
+            tmp_path, gradient_clip_norm=0.0, moments_dtype="float32"
+        )
         (_, pf, _, _), (_, ps, _, _) = res[True], res[False]
         for name in pf["embedding"]:
             if name.startswith("table_w"):
                 np.testing.assert_array_equal(
                     np.asarray(pf["embedding"][name]),
                     np.asarray(ps["embedding"][name]),
+                )
+
+    def test_clip_disabled_bf16_moments_one_ulp(self, tmp_path):
+        """Under the bf16-moment DEFAULT the bit-exact guarantee relaxes
+        to <= 1 ulp on a handful of elements: the bf16->f32 moment
+        convert changes which multiply-adds XLA contracts into FMAs
+        between the two compiled programs (measured: 8/16384 elements at
+        1.5e-8 when the default flipped). Values, not bits."""
+        res = self._two_paths(tmp_path, gradient_clip_norm=0.0)
+        (_, pf, _, _), (_, ps, _, _) = res[True], res[False]
+        for name in pf["embedding"]:
+            if name.startswith("table_w"):
+                np.testing.assert_allclose(
+                    np.asarray(pf["embedding"][name]),
+                    np.asarray(ps["embedding"][name]),
+                    rtol=0, atol=3e-8,
                 )
 
     @pytest.mark.parametrize("model_name", ["xdeepfm", "attention_deepfm"])
