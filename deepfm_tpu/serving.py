@@ -322,4 +322,12 @@ def make_http_server(
 
             self._dispatch(run)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of >5
+        # simultaneous connects (measured at 32 concurrent clients,
+        # scripts/serving_concurrent.py) overflows the accept queue and
+        # the kernel RESETS the excess — a production scorer must absorb
+        # connection bursts and let latency, not resets, signal load.
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
