@@ -116,7 +116,7 @@ def _workload(rows: int = BATCH):
 def bench_tpu(
     model_name: str,
     pallas_overrides: dict | None = None,
-    moments_dtype: str = "float32",
+    moments_dtype: str | None = None,
     fused_backward: bool = True,
 ) -> tuple[float, dict]:
     """(examples/sec, engagement record) for one model's train step."""
@@ -139,11 +139,12 @@ def bench_tpu(
         "training": {
             "batch_size": BATCH,
             "compute_dtype": "bfloat16",
-            "moments_dtype": moments_dtype,
             "fused_backward": fused_backward,
         },
         "output_dir": "/tmp/bench_out",
     }
+    if moments_dtype is not None:  # None = the TrainingConfig default
+        cfg_dict["training"]["moments_dtype"] = moments_dtype
     if pallas_overrides:
         cfg_dict["pallas"] = pallas_overrides
     config = config_from_dict(cfg_dict)
@@ -538,9 +539,14 @@ def main() -> None:
         default=",".join(MODELS),
         help="comma-separated subset of models to bench",
     )
+    # default follows the production TrainingConfig default so the bench
+    # measures what `train` ships (a hard-pinned "float32" here once
+    # silently measured a dead configuration after the round-5 flip)
+    from deepfm_tpu.config import TrainingConfig
+
     parser.add_argument(
         "--moments-dtype",
-        default="float32",
+        default=TrainingConfig.moments_dtype,
         choices=["float32", "bfloat16"],
         help="Adam moment storage for the tables (bfloat16 cuts the "
         "HBM-bound fused-Adam pass; quality evidence in RESULTS.md)",
