@@ -528,7 +528,7 @@ def run_orchestrator(args) -> None:
             return
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--remeasure-baseline", action="store_true",
@@ -574,7 +574,11 @@ def main() -> None:
         help="skip tunnel probing/subprocess isolation (run all models "
         "in-process; CI/CPU use)",
     )
-    args = parser.parse_args()
+    return parser
+
+
+def main() -> None:
+    args = build_parser().parse_args()
 
     if args.worker:
         run_worker(args)

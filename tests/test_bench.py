@@ -230,3 +230,18 @@ def test_probe_window_widens_only_when_warm(bench, monkeypatch):
     reserve = 120 + 300 * 3
     assert seen["deadline"] == bench.TOTAL_BUDGET - reserve
     assert seen["deadline"] > bench.TOTAL_BUDGET / 2
+
+
+def test_cli_moments_default_tracks_training_config(bench):
+    """The bench must measure the PRODUCTION moments_dtype default: a
+    hard-pinned f32 silently measured a dead configuration after the
+    round-5 bf16 flip (the config_fp failure mode, VERDICT r4 #2)."""
+    from deepfm_tpu.config import TrainingConfig
+
+    args = bench.build_parser().parse_args([])
+    assert args.moments_dtype == TrainingConfig.moments_dtype
+    # and bench_tpu's None sentinel defers to the config default
+    import inspect
+
+    sig = inspect.signature(bench.bench_tpu)
+    assert sig.parameters["moments_dtype"].default is None
