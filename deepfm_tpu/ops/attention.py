@@ -8,8 +8,10 @@ F fields, output projection back to embed_dim, optional residual + LayerNorm.
 F is small (~16-40 fields), so the whole score matrix fits comfortably in
 VMEM — no flash-style tiling required. Two execution paths share one
 parameter set: the jnp path (XLA batched matmuls) and the fully-fused
-Pallas block kernel (ops/pallas/attention_kernel.py, flag
-``pallas.use_attention_kernel``) that keeps Q/K/V/scores/context in VMEM.
+feature-major Pallas block kernel
+(ops/pallas/attention_fmajor_kernel.py, flag
+``pallas.use_attention_kernel``) that keeps Q/K/V/scores/context in
+VMEM with the batch tile on the 128-lane axis.
 """
 
 from __future__ import annotations
@@ -64,16 +66,13 @@ class AttentionBlock(nn.Module):
             )
             return fn(x.astype(self.compute_dtype), p)
 
-        if self.use_pallas:
-            from deepfm_tpu.ops.pallas.attention_kernel import (
-                make_attention_block_pallas,
-            )
-
-            fn = make_attention_block_pallas(self.num_heads, self.use_residual)
-            return fn(x.astype(self.compute_dtype), p).astype(
-                self.compute_dtype
-            )
-
+        # No sample-major fused fallback: the round-2 sample-major kernel
+        # was deleted in round 5 — the f-major kernel beats it AND XLA at
+        # every shipped geometry (RESULTS.md round-4/5 attention A/Bs),
+        # its only remaining domain (F<=16 with f-major ineligible) never
+        # occurs in practice, and its backward had a latent cotangent-
+        # dtype bug under bf16 compute that the A/B harness exposed. When
+        # the f-major kernel is ineligible the XLA tower below runs.
         cdt = self.compute_dtype
         x = x.astype(cdt)
         x2 = x.reshape(b * f, d)

@@ -1,7 +1,7 @@
 """Pallas TPU kernels: feature-major (sample-in-lanes) fused attention block.
 
-The sample-major fused kernel (``attention_kernel.py``) loses to XLA at
-Criteo field counts because every tensor it touches has a tiny trailing
+A sample-major fused kernel (round 2, deleted round 5) lost to XLA at
+Criteo field counts because every tensor it touched had a tiny trailing
 dim (head_dim=16, F=27) that Mosaic pads to 128 lanes — 4-8x wasted
 VMEM/bandwidth. The XLA fallback in turn burns ~12 ms/step in pure
 layout churn (profiled round 3: ``{1,0,3,2}``-layout reshapes and
@@ -55,6 +55,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-5
 _VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def block_oracle(x, p, num_heads, use_residual):
+    """jnp reference of one attention block (same math as ops/attention.py).
+
+    Params are cast to the input's compute dtype FIRST — matching the
+    module's jnp path. Round-3 find: without the cast, ``x(bf16) @
+    w(f32)`` promotes the ENTIRE attention tower (q/k/v, scores,
+    softmax, context, and all their adjoints) to f32, so the F-major
+    kernel's parity target (and the module's XLA fallback) was paying
+    2x bytes on every attention tensor.
+    """
+    b, f, d = x.shape
+    a = p["wq"].shape[1]
+    hd = a // num_heads
+    p = {k: v.astype(x.dtype) for k, v in p.items()}
+
+    def proj(w, bias):
+        return x.reshape(b * f, d) @ w + bias
+
+    q = proj(p["wq"], p["bq"]).reshape(b, f, num_heads, hd)
+    k = proj(p["wk"], p["bk"]).reshape(b, f, num_heads, hd)
+    v = proj(p["wv"], p["bv"]).reshape(b, f, num_heads, hd)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, x.dtype))
+    # einsum form deliberately (round-3 measured negative result: the
+    # broadcast-reduce alternative was slower end to end — see
+    # ops/attention.py)
+    scores = jnp.einsum("bihd,bjhd->bhij", q, k) * scale
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhij,bjhd->bihd", w, v).reshape(b * f, a)
+    out = (ctx @ p["wo"] + p["bo"]).reshape(b, f, d)
+    if use_residual:
+        y = out + x
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        yn = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = yn * p["ln_scale"] + p["ln_bias"]
+    return out
 
 
 def _split_heads(qkv, a, num_heads, head_dim, part):

@@ -74,8 +74,8 @@ def _lookup_label(trainer) -> str:
 
 def _attention_kernel(trainer) -> str | None:
     """Which attention execution path the model will take, mirroring the
-    runtime gates in ops/attention.py:141-163 and the sample-major
-    F<=16 demotion (ops/pallas/attention_kernel.py:172-190)."""
+    runtime gate in ops/attention.py (f-major fused kernel when
+    eligible, else the XLA tower)."""
     cfg = trainer.config
     if not cfg.pallas.use_attention_kernel:
         return None
@@ -91,8 +91,6 @@ def _attention_kernel(trainer) -> str | None:
     b = cfg.training.batch_size
     if fmajor_eligible(b, f, d, a, h, itemsize):
         return "attn_fmajor"
-    if f <= 16:
-        return "attn_smajor"
     return None  # XLA oracle tower
 
 
@@ -160,7 +158,6 @@ _LABEL_TO_MOSAIC: dict[str, tuple[str, ...]] = {
     "cin_stack": ("_stack_kernel", "_stack_bwd_kernel"),
     "cin_stack_bf16": ("_stack_kernel", "_stack_bwd_kernel"),
     "attn_fmajor": ("_attn_fwd_kernel", "_attn_bwd_kernel"),
-    "attn_smajor": ("_attn_kernel",),
 }
 
 

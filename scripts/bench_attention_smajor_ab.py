@@ -1,20 +1,22 @@
-"""Kernel-level A/B at F<=16: sample-major vs feature-major attention.
+"""Kernel-level A/B at small field counts: XLA tower vs feature-major.
 
-VERDICT r4 #8: two fused attention kernels ship — the round-2
-sample-major kernel (ops/pallas/attention_kernel.py, gated F<=16) and
-the round-4 feature-major kernel (attention_fmajor_kernel.py, any F).
-Since the tower prefers the fmajor kernel whenever it is eligible, the
-sample-major kernel's only remaining domain is F<=16 with fmajor
-ineligible — this tool measures all three paths (XLA oracle,
-sample-major, feature-major) at small field counts so the loser can be
-deleted, or the gate kept with a measured crossover.
+VERDICT r4 #8 asked for "one attention kernel, or a measured reason for
+two". Running this harness settled it: the round-2 sample-major kernel's
+backward CRASHED under bf16 compute (its forward promoted the output to
+f32 while its oracle-vjp expected bf16 cotangents — a latent bug in its
+only remaining domain, masked in production because the f-major kernel
+is preferred whenever eligible and the CPU suite runs f32). The
+sample-major kernel was deleted (round 5); this harness now measures the
+surviving two paths — XLA tower vs the f-major kernel — at the small
+field counts that were the sample-major kernel's niche, pinning whether
+the f-major kernel should stay engaged there (it is eligible at any F).
 
 Measures ONE attention block at kernel granularity (identical raw
 params, no flax indirection), forward and forward+backward, chained-
 scan timing with a terminal host readback per CLAUDE.md.
 
 Usage: PYTHONPATH=/root/.axon_site:. \
-       python scripts/bench_attention_smajor_ab.py --fields 8 16 \
+       python scripts/bench_attention_smajor_ab.py --fields 8 16 27 \
        [--json outputs/attention_smajor_ab/results.json]
 """
 
@@ -85,18 +87,14 @@ def main() -> None:
     args = ap.parse_args()
 
     from deepfm_tpu.ops.pallas.attention_fmajor_kernel import (
+        block_oracle,
         make_attention_block_fmajor,
-    )
-    from deepfm_tpu.ops.pallas.attention_kernel import (
-        _block_oracle,
-        make_attention_block_pallas,
     )
 
     cdt = jnp.dtype(args.dtype)
     B, D, H, A = args.batch, args.embed, args.heads, args.attn_dim
     rng = np.random.default_rng(0)
     p = make_params(D, A, rng)
-    smajor = make_attention_block_pallas(H, True)
     fmajor = make_attention_block_fmajor(H, True)
 
     out: dict = {}
@@ -112,8 +110,7 @@ def main() -> None:
             return jnp.transpose(fmajor(zf, p), (2, 0, 1))
 
         variants = {
-            "xla": lambda z: _block_oracle(z, p, H, True),
-            "smajor": lambda z: smajor(z, p),
+            "xla": lambda z: block_oracle(z, p, H, True),
             "fmajor": via_fmajor,
         }
         rows = {}
