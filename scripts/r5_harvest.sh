@@ -56,6 +56,10 @@ case "$phase" in
     timeout 3600 python -m deepfm_tpu train \
       --config configs/deepfm_criteo_packed.yaml 2>&1 | tee "$log"
     ;;
+  tputests)
+    # on-hardware exactness suite (engagement-vs-lowered-HLO assertions)
+    timeout 3600 python -m pytest tests_tpu/ -q -m tpu 2>&1 | tee "$log"
+    ;;
   *)
     echo "unknown phase $phase" >&2; exit 2 ;;
 esac
