@@ -491,6 +491,39 @@ def _stack_aligned(layer_sizes, split_half) -> bool:
     )
 
 
+def stack_tile(bsz, f, d, layer_sizes, split_half, bwd, bf16=False):
+    """Batch tile the stack kernel would pick for these shapes on the
+    CURRENT backend, or None when it would fall back to the XLA path.
+
+    Module-level mirror of the factory's runtime gate so engagement
+    telemetry reports the same decision the compiled step makes — the
+    round-5 on-hardware HLO assertion caught the label claiming
+    ``cin_stack`` at batch sizes with no feasible tile (b % 128 != 0),
+    where the kernel actually falls back."""
+    layer_sizes = tuple(layer_sizes)
+    direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
+    if jax.default_backend() == "cpu":
+        return bsz  # interpreter mode: no tiling constraints
+    if not _stack_aligned(layer_sizes, split_half):
+        return None
+    f_k = _pad_to(f, 16) if bf16 else f
+    return _pick_tile(
+        bsz, f_k, d, layer_sizes, split_half, next_sizes, direct_sizes,
+        bwd, bf16=bf16,
+    )
+
+
+def cin_stack_engaged(layer_sizes, split_half, bsz, f, d, bf16) -> bool:
+    """True when BOTH the fused forward and backward stack kernels will
+    run (the engagement-telemetry contract for the cin_stack labels)."""
+    return (
+        stack_tile(bsz, f, d, layer_sizes, split_half, False, bf16)
+        is not None
+        and stack_tile(bsz, f, d, layer_sizes, split_half, True, bf16)
+        is not None
+    )
+
+
 def cin_bf16_eligible(layer_sizes, split_half, embed_dim) -> bool:
     """True when the bf16 MXU-operand path can engage for this
     geometry: every layer size and non-first hidden height on the bf16
@@ -521,7 +554,6 @@ def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
     layer_sizes = tuple(layer_sizes)
     direct_sizes, next_sizes = cin_layer_sizes(layer_sizes, split_half)
     output_dim = sum(direct_sizes)
-    aligned = _stack_aligned(layer_sizes, split_half)
 
     def oracle(x0, weights, biases):
         from deepfm_tpu.ops.cin import cin_compress
@@ -547,15 +579,8 @@ def make_cin_stack_pallas(layer_sizes, split_half, bf16_operands=False):
         )
 
     def _tile_for(bsz, f, d, bwd, bf16=False):
-        if jax.default_backend() == "cpu":
-            return bsz  # interpreter mode: no tiling constraints
-        if not aligned:
-            return None
-        f_k = _pad_to(f, 16) if bf16 else f
-        return _pick_tile(
-            bsz, f_k, d, layer_sizes, split_half, next_sizes, direct_sizes,
-            bwd, bf16=bf16,
-        )
+        # single source of truth with engagement telemetry (stack_tile)
+        return stack_tile(bsz, f, d, layer_sizes, split_half, bwd, bf16)
 
     def _flops(bsz, f, d):
         flops = 0

@@ -118,20 +118,27 @@ def trainer_engagement(trainer) -> dict:
     if model_name == "xdeepfm" and trainer.config.pallas.use_cin_kernel:
         from deepfm_tpu.ops.pallas.cin_stack_kernel import (
             cin_bf16_eligible,
+            cin_stack_engaged,
         )
 
-        if (
-            trainer.config.pallas.cin_bf16_operands
-            and trainer.config.training.compute_dtype == "bfloat16"
-            and cin_bf16_eligible(
-                trainer.config.cin.layer_sizes,
-                trainer.config.cin.split_half,
-                trainer.config.feature.fm_embed_dim,
-            )
+        cfg = trainer.config
+        layer_sizes = cfg.cin.layer_sizes
+        split_half = cfg.cin.split_half
+        d = cfg.feature.fm_embed_dim
+        bf16 = (
+            cfg.pallas.cin_bf16_operands
+            and cfg.training.compute_dtype == "bfloat16"
+            and cin_bf16_eligible(layer_sizes, split_half, d)
+        )
+        # the label must track the kernel's own tile gate: at batch
+        # sizes with no feasible tile (b % 128 != 0 on TPU) the factory
+        # falls back to the XLA path — the round-5 on-hardware HLO
+        # assertion caught the label claiming engagement there
+        if cin_stack_engaged(
+            layer_sizes, split_half, cfg.training.batch_size,
+            trainer.packed_schema.num_fields, d, bf16,
         ):
-            kernels.append("cin_stack_bf16")
-        else:
-            kernels.append("cin_stack")
+            kernels.append("cin_stack_bf16" if bf16 else "cin_stack")
     if model_name == "attention_deepfm":
         attn = _attention_kernel(trainer)
         if attn:

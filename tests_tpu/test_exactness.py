@@ -219,8 +219,13 @@ def test_attention_fmajor_grads_on_hardware(tpu):
 
     rng = np.random.default_rng(7)
     b, f, d, h, a = 256, 27, 16, 4, 64
-    assert fmajor_tile(b, f, d, a, h, 4) is not None
-    x = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+    # bf16 input: the production configuration (compute_dtype), and the
+    # only one the kernel engages at F=27 — the f32 buffers exceed the
+    # VMEM budget (fmajor_tile(..., itemsize=4) is None by design)
+    assert fmajor_tile(b, f, d, a, h, 2) is not None
+    x = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
 
     def grads(use_pallas):
         m = MultiHeadSelfAttention(
@@ -328,12 +333,14 @@ def test_trainer_gate_engages_fused_path_on_hardware(tpu, tmp_path):
     sparse backward end to end through create_model + Trainer, and one
     real step runs."""
     import os
-    import sys
 
     import jax.numpy as jnp
 
-    sys.path.insert(0, "tests")
-    from conftest import make_synth_batch, make_synth_schema
+    # cpu_conftest_helpers, NOT tests/conftest: the module name
+    # "conftest" is already bound to tests_tpu's own conftest in
+    # sys.modules, so `from conftest import ...` silently resolves
+    # there (caught on hardware round 5)
+    from cpu_conftest_helpers import make_synth_batch, make_synth_schema
 
     from deepfm_tpu.config import config_from_dict
     from deepfm_tpu.data.packing import pack_features, pack_schema
