@@ -86,6 +86,32 @@ else:
         }
     )
     mesh = build_mesh(4, 1)  # spans both processes (2 local devices each)
+# Warm the Gloo communicators for every device clique the step will use
+# (global, per-"data"-group, per-"model"-group) while the ranks are
+# still tightly synchronized from the coordinator handshake. XLA's Gloo
+# rendezvous has a fixed 30 s key-value deadline; on a single-core host
+# the heavy compile/data phase staggers the ranks past it (flaky
+# DEADLINE_EXCEEDED at the first step collective — observed at 4
+# processes). These tiny psums compile in ~1 s, so all ranks reach them
+# near-simultaneously; every later collective reuses the contexts.
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental.shard_map import shard_map  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+_axes = [ax for ax in mesh.axis_names if mesh.shape[ax] > 1]
+for _spec in [tuple(_axes)] + [(ax,) for ax in _axes]:
+    _x = jax.device_put(
+        np.zeros((mesh.size,), np.float32),
+        NamedSharding(mesh, P(_spec if len(_spec) > 1 else _spec[0])),
+    )
+    _f = shard_map(
+        lambda v, _n=_spec: jax.lax.psum(v, _n),
+        mesh=mesh,
+        in_specs=P(_spec if len(_spec) > 1 else _spec[0]),
+        out_specs=P(),
+    )
+    jax.block_until_ready(jax.jit(_f)(_x))
+
 model = create_model("deepfm", packed, cfg, mesh=mesh)
 tr = Trainer(model, packed, cfg, arr, arr, arr, mesh=mesh)
 if mode == "routed":
